@@ -1,0 +1,160 @@
+package graft.index
+
+import graft.geo.TileRect
+
+/**
+ * Point -> candidate-tiles spatial index, built once on the driver
+ * from the solved tile rectangles and broadcast to executors; the
+ * probe is the build side of a broadcast spatial join.
+ *
+ * Structure: a flat top grid (default 512 x 512) over the union bbox
+ * of all (overlap-extended) tiles. Each grid cell stores the tiles
+ * whose extended rect intersects it plus a `testNeeded` bit — clear
+ * when every candidate fully contains the cell, so the per-point
+ * rectangle tests can be skipped. Cells with more than [[TileIndex.MaxTests]]
+ * candidates get a nested sub-grid (reference `AreaGrid.java:26-235`).
+ *
+ * Closed-boundary `contains` means points exactly on a shared tile
+ * edge match BOTH tiles — required duplication semantics.
+ *
+ * @param tiles    solved tile rectangles, index == tile id
+ * @param overlap  padding in map units applied to every tile before
+ *                 matching (splitter `--overlap`)
+ */
+final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
+  extends Serializable {
+
+  import TileIndex._
+
+  val extended: Array[TileRect] = tiles.map(_.extended(overlap))
+
+  private val root: Grid = new Grid(extended.indices.toArray, None, TopDim)
+
+  /** Tile ids whose (extended) rect contains the point, ascending;
+    * empty when none. */
+  def probe(lat: Int, lon: Int): Array[Int] = root.probe(lat, lon)
+
+  /**
+   * Probe with nearest-tile fallback: a point inside no tile is
+   * assigned to the tile with the smallest squared distance to its
+   * (non-extended) rect (ties -> lowest id), so assignment is total —
+   * where the reference silently dropped such points
+   * (`SplitProcessor.writeNode:263-265`).
+   */
+  def probeOrNearest(lat: Int, lon: Int): Array[Int] = {
+    val hit = probe(lat, lon)
+    if (hit.nonEmpty) hit else Array(nearestTile(lat, lon))
+  }
+
+  def nearestTile(lat: Int, lon: Int): Int = {
+    var best = 0
+    var bestDist = Long.MaxValue
+    var i = 0
+    while (i < tiles.length) {
+      val t = tiles(i)
+      val dLat = math.max(0, math.max(t.minLat - lat, lat - t.maxLat)).toLong
+      val dLon = math.max(0, math.max(t.minLon - lon, lon - t.maxLon)).toLong
+      val d = dLat * dLat + dLon * dLon
+      if (d < bestDist) { bestDist = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Max rectangle tests any probe can need (diagnostics). */
+  def maxCompares: Int = root.maxCompares
+
+  private final class Grid(members: Array[Int], fixedBounds: Option[TileRect],
+                           dim: Int) extends Serializable {
+    private val bounds: TileRect = fixedBounds.getOrElse {
+      members.map(extended).reduce(_ union _)
+    }
+    private val minLat = bounds.minLat
+    private val minLon = bounds.minLon
+    // ceil so dim*div covers the bounds
+    private val divLat = math.max(1, (bounds.height + dim - 1) / dim)
+    private val divLon = math.max(1, (bounds.width + dim - 1) / dim)
+
+    // per cell: candidate ids (null = none), testNeeded bit, optional subgrid
+    private val cellCand: Array[Array[Int]] = new Array((dim + 1) * (dim + 1))
+    private val cellTest = new java.util.BitSet((dim + 1) * (dim + 1))
+    private var subGrids: Array[Grid] = _
+    var maxCompares: Int = 0
+
+    locally {
+      val buf = Array.fill((dim + 1) * (dim + 1))(List.empty[Int])
+      members.foreach { id =>
+        val e = extended(id)
+        val x0 = math.max(0, (e.minLon - minLon) / divLon)
+        val x1 = math.min(dim, (e.maxLon - minLon) / divLon)
+        val y0 = math.max(0, (e.minLat - minLat) / divLat)
+        val y1 = math.min(dim, (e.maxLat - minLat) / divLat)
+        var cx = x0
+        while (cx <= x1) {
+          val cellMinLon = minLon + divLon * cx
+          var cy = y0
+          while (cy <= y1) {
+            val cellMinLat = minLat + divLat * cy
+            val k = cx * (dim + 1) + cy
+            buf(k) = id :: buf(k)
+            if (!e.contains(cellMinLat, cellMinLon) ||
+              !e.contains(cellMinLat + divLat, cellMinLon + divLon))
+              cellTest.set(k)
+            cy += 1
+          }
+          cx += 1
+        }
+      }
+      var k = 0
+      while (k < buf.length) {
+        if (buf(k).nonEmpty) {
+          val ids = buf(k).toArray.sorted
+          if (cellTest.get(k) && ids.length > MaxTests &&
+            divLat > MinCellSize && divLon > MinCellSize && dim == TopDim) {
+            val cx = k / (dim + 1)
+            val cy = k % (dim + 1)
+            val cellBounds = TileRect(
+              minLat + divLat * cy, minLon + divLon * cx,
+              minLat + divLat * (cy + 1), minLon + divLon * (cx + 1))
+            if (subGrids == null) subGrids = new Array[Grid](buf.length)
+            subGrids(k) = new Grid(ids, Some(cellBounds), SubDim)
+            maxCompares = math.max(maxCompares, subGrids(k).maxCompares + 1)
+          } else {
+            cellCand(k) = ids
+            if (cellTest.get(k)) maxCompares = math.max(maxCompares, ids.length)
+          }
+        }
+        k += 1
+      }
+    }
+
+    def probe(lat: Int, lon: Int): Array[Int] = {
+      if (!bounds.contains(lat, lon)) return EmptyIds
+      val cx = (lon - minLon) / divLon
+      val cy = (lat - minLat) / divLat
+      val k = cx * (dim + 1) + cy
+      if (subGrids != null && subGrids(k) != null) return subGrids(k).probe(lat, lon)
+      val cand = cellCand(k)
+      if (cand == null) EmptyIds
+      else if (!cellTest.get(k)) cand
+      else {
+        val out = new Array[Int](cand.length)
+        var n = 0
+        var i = 0
+        while (i < cand.length) {
+          if (extended(cand(i)).contains(lat, lon)) { out(n) = cand(i); n += 1 }
+          i += 1
+        }
+        if (n == cand.length) cand else java.util.Arrays.copyOf(out, n)
+      }
+    }
+  }
+}
+
+object TileIndex {
+  final val TopDim = 512
+  final val SubDim = 32
+  final val MaxTests = 10
+  final val MinCellSize = 2048
+  private val EmptyIds = Array.emptyIntArray
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.assign.{LinkMembership, TileAssigner}
+import graft.density.DensityJob
+import graft.geo.CoordSynthesis
+import graft.index.TileIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The operator catalog: every entry is one implemented operator,
+ * exposed as a DataFrame query over the test tables plus (where SQL
+ * can express it) an equivalent DuckDB oracle query. Column names and
+ * types are aligned between both sides — the correctness gate hashes
+ * values per column name.
+ */
+object Catalog {
+
+  type Query = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  /** documents with synthesized map-unit coordinates. */
+  private def points(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    docs(s, dir).select(col("doc_id"),
+      CoordSynthesis.latCol(id).cast("long").as("lat_mu"),
+      CoordSynthesis.lonCol(id).cast("long").as("lon_mu"))
+  }
+
+  private val ptsSql =
+    s"(SELECT doc_id, ${CoordSynthesis.latSql("doc_id")} AS lat_mu, " +
+      s"${CoordSynthesis.lonSql("doc_id")} AS lon_mu FROM documents)"
+
+  // ---- geospatial core ----------------------------------------------------
+
+  private val gb = FixedTiles.bounds
+  private val shift = 24 - FixedTiles.Resolution
+  private val gw = gb.width >> shift
+  private val gh = gb.height >> shift
+
+  private def fixedIndex(overlap: Int) =
+    new TileIndex(FixedTiles.rects.toArray, overlap)
+
+  private def assignFixed(s: SparkSession, dir: String, overlap: Int): DataFrame = {
+    val p = points(s, dir)
+    TileAssigner.explodeByTile(
+      TileAssigner.withTileIds(s, p, col("lat_mu"), col("lon_mu"),
+        fixedIndex(overlap), nearestFallback = false),
+      FixedTiles.StartMapId)
+      .select(col("doc_id"), col("map_id").cast("long").as("map_id"))
+  }
+
+  private def assignSql(overlap: Int): String =
+    "SELECT p.doc_id, CAST(t.map_id AS BIGINT) AS map_id " +
+      s"FROM $ptsSql p JOIN " +
+      s"(SELECT * FROM ${FixedTiles.valuesSql(overlap)} " +
+      "AS v(map_id, min_lat, min_lon, max_lat, max_lon)) t " +
+      "ON p.lat_mu BETWEEN t.min_lat AND t.max_lat " +
+      "AND p.lon_mu BETWEEN t.min_lon AND t.max_lon"
+
+  val geoQueries: Map[String, Query] = Map(
+    "q_coords" -> ((s, dir) => points(s, dir)),
+
+    "q_density" -> ((s, dir) =>
+      DensityJob.histogram(points(s, dir), col("lat_mu"), col("lon_mu"),
+        gb, FixedTiles.Resolution)
+        .select(col("cell_x").cast("long").as("cell_x"),
+          col("cell_y").cast("long").as("cell_y"), col("cnt"))),
+
+    "q_bbox" -> ((s, dir) =>
+      points(s, dir).agg(
+        min(col("lat_mu")).as("min_lat"), min(col("lon_mu")).as("min_lon"),
+        max(col("lat_mu")).as("max_lat"), max(col("lon_mu")).as("max_lon"))),
+
+    "q_assign_fixed" -> ((s, dir) => assignFixed(s, dir, 0)),
+
+    "q_assign_overlap" -> ((s, dir) => assignFixed(s, dir, 2000)),
+
+    "q_tile_counts" -> ((s, dir) =>
+      assignFixed(s, dir, 0).groupBy("map_id")
+        .agg(count(lit(1)).as("doc_count"))),
+
+    "q_problem_links" -> ((s, dir) => {
+      val p = points(s, dir)
+      val assignment = TileAssigner.withTileIds(s, p, col("lat_mu"), col("lon_mu"),
+        fixedIndex(0), nearestFallback = false)
+      val links = p.select(expr("doc_id div 5").as("link_id")).distinct()
+        .select(col("link_id"),
+          sequence(col("link_id") * 5, col("link_id") * 5 + 4).as("member_ids"))
+      LinkMembership.linkTiles(links, assignment, salted = true)
+        .select(col("link_id"),
+          size(col("tile_ids")).cast("long").as("n_tiles"),
+          (element_at(col("tile_ids"), 1) + FixedTiles.StartMapId).cast("long").as("min_tile"),
+          (element_at(col("tile_ids"), -1) + FixedTiles.StartMapId).cast("long").as("max_tile"),
+          col("is_problem"))
+    }))
+
+  val geoOracles: Map[String, String] = Map(
+    "q_coords" -> s"SELECT doc_id, lat_mu, lon_mu FROM $ptsSql p",
+
+    "q_density" ->
+      (s"SELECT CAST(LEAST((lon_mu - (${gb.minLon})) // ${1 << shift}, ${gw - 1}) AS BIGINT) AS cell_x, " +
+        s"CAST(LEAST((lat_mu - (${gb.minLat})) // ${1 << shift}, ${gh - 1}) AS BIGINT) AS cell_y, " +
+        s"CAST(count(*) AS BIGINT) AS cnt FROM $ptsSql p " +
+        s"WHERE lat_mu BETWEEN ${gb.minLat} AND ${gb.maxLat} " +
+        s"AND lon_mu BETWEEN ${gb.minLon} AND ${gb.maxLon} GROUP BY 1, 2"),
+
+    "q_bbox" ->
+      (s"SELECT min(lat_mu) AS min_lat, min(lon_mu) AS min_lon, " +
+        s"max(lat_mu) AS max_lat, max(lon_mu) AS max_lon FROM $ptsSql p"),
+
+    "q_assign_fixed" -> assignSql(0),
+
+    "q_assign_overlap" -> assignSql(2000),
+
+    "q_tile_counts" ->
+      s"SELECT map_id, CAST(count(*) AS BIGINT) AS doc_count FROM (${assignSql(0)}) GROUP BY map_id",
+
+    "q_problem_links" ->
+      (s"SELECT doc_id // 5 AS link_id, CAST(count(DISTINCT map_id) AS BIGINT) AS n_tiles, " +
+        "min(map_id) AS min_tile, max(map_id) AS max_tile, " +
+        "count(DISTINCT map_id) > 1 AS is_problem " +
+        s"FROM (${assignSql(0)}) GROUP BY doc_id // 5"))
+
+  // ---- relational operator surface ---------------------------------------
+
+  val relQueries: Map[String, Query] = Map(
+    "q1_agg" -> ((s, dir) =>
+      lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("count_order"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))),
+
+    "q_join_rev" -> ((s, dir) =>
+      orders(s, dir)
+        .join(broadcast(customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
+    "q_window_top1" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    "q_running_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+    }),
+
+    "q_semi" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))),
+
+    "q_anti" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))))
+
+  val relOracles: Map[String, String] = Map(
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS count_order, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
+    "q_join_rev" ->
+      ("SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"),
+
+    "q_window_top1" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn = 1"),
+
+    "q_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total " +
+        "FROM orders"),
+
+    "q_semi" ->
+      ("SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_with_orders FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_nationkey"),
+
+    "q_anti" ->
+      ("SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_without_orders FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_nationkey"))
+
+  // ---- text / training-data ops -------------------------------------------
+
+  private val stopwords = Seq("the", "and", "of", "a", "in", "to")
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val textQueries: Map[String, Query] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"))),
+
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))),
+
+    "q_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(filter(split(col("text"), " "),
+          t => t.isInCollection(stopwords))).cast("long").as("n_stop"))
+        .withColumn("stop_ppm",
+          expr("n_stop * 1000000 div n_tokens"))))
+
+  val textOracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      ("SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies " +
+        "FROM documents GROUP BY text"),
+
+    "q_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+
+    "q_quality" ->
+      ("SELECT doc_id, n_tokens, n_stop, n_stop * 1000000 // n_tokens AS stop_ppm FROM (" +
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopwordsSqlList)) AS BIGINT) AS n_stop " +
+        "FROM documents)"))
+
+  def all: Map[String, Query] = geoQueries ++ relQueries ++ textQueries
+  def oracles: Map[String, String] = geoOracles ++ relOracles ++ textOracles
+}
