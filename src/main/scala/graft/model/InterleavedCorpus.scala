@@ -55,10 +55,15 @@ object InterleavedCorpus {
    * (doc_id bigint, text, lang, source, n_chars).
    */
   def fromFlatDocuments(docs: DataFrame): DataFrame = {
-    val id = col("doc_id").cast("long")
-    docs.select(
-      docIdCol(id).as("doc_id"),
-      spansCol(id, col("text")).as("spans"))
+    // two-step select: aliasing the new string id as "doc_id" in the
+    // same projection would make Spark's lateral-column-alias
+    // resolution bind the spans expression's doc_id reference to the
+    // NEW string column instead of the input column
+    docs
+      .select(col("doc_id").cast("long").as("_nid"), col("text"))
+      .select(
+        docIdCol(col("_nid")).as("doc_id"),
+        spansCol(col("_nid"), col("text")).as("spans"))
   }
 
   /** Fully synthetic corpus of `n` documents (no input table). */

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ * brute-force cosine top-k as the exactness baseline, and a
+ * random-hyperplane LSH bucketed variant plus an IVF (inverted-file)
+ * coarse quantizer as the scale paths.
+ *
+ * All dot products multiply and accumulate in float64 with
+ * element-order accumulation, which is bit-exact against the DuckDB
+ * oracle's `list_dot_product(CAST(... AS DOUBLE[]))`.
+ */
+object Similarity {
+
+  /** Sequential-order float64 dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: every query joined against every
+   * candidate. O(Q x N) — the correctness baseline the approximate
+   * paths are verified against; fine when Q is small even at large N
+   * (broadcast the queries; the candidate side never shuffles).
+   */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                     id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
+    val c = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic integer-valued hyperplane component for plane `p`,
+    * dimension `d` — integer-exact in every engine. */
+  def planeComponent(p: Int, d: Int, dims: Int): Long =
+    (((p.toLong * dims + d + 1) * 2654435761L) % 1999L) - 999L
+
+  /** Hyperplane sign-bucket of a vector: bit p = (v . plane_p) > 0. */
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column =
+    (0 until nPlanes).map { p =>
+      val plane = array((0 until dims).map(d =>
+        lit(planeComponent(p, d, dims).toDouble)): _*)
+      when(dot(vec, plane) > 0, lit(1L) * (1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /**
+   * LSH ANN: vectors sharing the query's sign-bucket are scored
+   * exactly; top-k within the bucket. The bucket assignment is a
+   * map-side projection; the candidate join is an equi-join on the
+   * bucket id — no cross join at scale.
+   */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 8, dims: Int = 64,
+              id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      lshBucket(col(vec), nPlanes, dims).as("bucket"))
+    val qb = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      lshBucket(col(vec), nPlanes, dims).as("bucket")))
+    val scored = qb.join(cb, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
+   * IVF coarse quantization: assign every vector to its nearest
+   * centroid (highest dot product; centroids = the first `nCentroids`
+   * vectors, a deterministic stand-in for k-means). Queries then probe
+   * only their centroid's inverted list. This is the 100 TB path: the
+   * assignment is a broadcast argmax projection and search cost drops
+   * by the centroid fan-out.
+   */
+  def ivfAssign(vectors: DataFrame, nCentroids: Int = 16,
+                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val centroids = vectors.where(col(id) < nCentroids)
+      .select(col(id).as("centroid_id"), col(vec).as("centv"))
+    val c = broadcast(centroids)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score").desc, col("centroid_id"))
+    vectors.crossJoin(c)
+      .select(col(id), col("centroid_id"), dot(col(vec), col("centv")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(id), col("centroid_id"))
+  }
+
+  /** Exact near-duplicate pairs by cosine threshold within an id range
+    * (embedding-cosine near-dup detection). */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double, maxId: Long,
+                         id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val sub = vectors.where(col(id) < maxId)
+    val a = sub.select(col(id).as("id_a"), col(vec).as("va"))
+    val b = sub.select(col(id).as("id_b"), col(vec).as("vb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .where(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large text corpora: exact, MinHash+LSH,
+ * SimHash and n-gram Jaccard. All hashing goes through md5 -> 60-bit
+ * int so the same arithmetic is expressible in the DuckDB oracle; at
+ * production scale the md5 can be swapped for xxhash64 without
+ * changing the plan shape.
+ *
+ * Scale notes: every operator is a hash-partitioned aggregation or an
+ * equi-join on a derived key — no driver-side state. The LSH pair
+ * join is the scale path for near-dup detection: candidate pairs come
+ * from an equi-join on (band, band-signature), never a cross join.
+ */
+object TextDedup {
+
+  /** 2^31 - 1, the classic MinHash modulus prime. */
+  val P: Long = 2147483647L
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit token hash via md5 (DuckDB-reproducible), reduced mod P. */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P
+
+  /** SQL text of the same token hash. */
+  def tokenHashSql(t: String): String =
+    s"(CAST(('0x' || substr(md5($t), 1, 15)) AS BIGINT) % $P)"
+
+  /** Deterministic MinHash permutation constants (a_i odd, b_i). */
+  def perm(i: Int): (Long, Long) =
+    (((2L * i + 1) * 2654435761L) % P, ((i + 1) * 40503L) % P)
+
+  /**
+   * MinHash signatures: `doc_id, mh0 .. mh{k-1}` where
+   * `mh_i = min over tokens of (a_i * h + b_i) % P`.
+   * One explode + one hash aggregation; the k permutations are k
+   * aggregate expressions over the same shuffled rows (not k passes).
+   */
+  def minhashSignatures(docs: DataFrame, k: Int = 16,
+                        id: String = "doc_id", text: String = "text"): DataFrame = {
+    val perTok = docs.select(col(id),
+      explode(array_distinct(tokens(col(text)))).as("tok"))
+      .withColumn("h", tokenHash(col("tok")))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = perm(i)
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    perTok.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * LSH candidate pairs: two docs are candidates iff they agree on at
+   * least one band of `rowsPerBand` consecutive signature components.
+   * Implemented as explode(bands) -> self-equi-join on the band key —
+   * the candidate set is found by hash partitioning, so cost scales
+   * with bucket sizes, not with the number of document pairs.
+   * Returns (id_a, id_b, n_matching_components of k).
+   */
+  def lshCandidatePairs(sigs: DataFrame, k: Int = 16, rowsPerBand: Int = 2,
+                        id: String = "doc_id"): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bands = explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        struct((0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}").as(s"k$r")): _*).as("key"))
+    }: _*)).as("bk")
+    val withBands = sigs.select((col(id) +: (0 until k).map(i => col(s"mh$i"))): _*)
+      .select(col(id), bands)
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = withBands.as("a")
+    val b = withBands.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    // estimated similarity: matching components / k
+    val sa = sigs.toDF(sigs.columns.map(c => if (c == id) "id_a" else s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.map(c => if (c == id) "id_b" else s"b_$c"): _*)
+    val matchCount = (0 until k).map(i =>
+      when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        matchCount.cast("long").as("n_match"))
+  }
+
+  /**
+   * 62-bit SimHash: for each bit b, sum +1/-1 over token hashes'
+   * bit b; the fingerprint sets bit b iff the sum is positive.
+   * (62 bits, not 64, so the packed value stays in a signed 64-bit
+   * range in every SQL engine.) One explode + one aggregation with
+   * 62 sum expressions — map-side combined, skew-free.
+   */
+  def simhash(docs: DataFrame, bits: Int = 62,
+              id: String = "doc_id", text: String = "text"): DataFrame = {
+    val perTok = docs.select(col(id),
+      explode(array_distinct(tokens(col(text)))).as("tok"))
+      .withColumn("h", tokenHash(col("tok")))
+    val sums = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b"))
+    val agg = perTok.groupBy(col(id)).agg(sums.head, sums.tail: _*)
+    val packed = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L) * (1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col(id), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two SimHash columns. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Distinct character n-gram shingles: (id, gram). */
+  def charShingles(docs: DataFrame, n: Int = 3,
+                   id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id), col(text),
+        explode(sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))))
+          .as("i"))
+      .select(col(id), substring(col(text), col("i"), lit(n)).as("gram"))
+      .distinct()
+
+  /**
+   * Exact n-gram Jaccard for all pairs within a bounded id range
+   * (the verification stage downstream of LSH candidates):
+   * jaccard_ppm = |A intersect B| * 1e6 / |A union B|.
+   * Pairs with an empty intersection are not emitted.
+   */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, maxId: Long = 100,
+                        id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sub = docs.where(col(id) < maxId)
+    val grams = charShingles(sub, n, id, text)
+    val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val inter = grams.toDF("id_a", "gram")
+      .join(grams.toDF("id_b", "gram"), "gram")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      // integer div, not double-div+cast: exact in every SQL engine
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 1000000 div (sz_a + sz_b - inter)").as("jaccard_ppm"))
+  }
+}

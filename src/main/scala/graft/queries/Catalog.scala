@@ -247,6 +247,8 @@ object Catalog {
         s"CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopwordsSqlList)) AS BIGINT) AS n_stop " +
         "FROM documents)"))
 
-  def all: Map[String, Query] = geoQueries ++ relQueries ++ textQueries
-  def oracles: Map[String, String] = geoOracles ++ relOracles ++ textOracles
+  def all: Map[String, Query] =
+    geoQueries ++ relQueries ++ textQueries ++ OpsCatalog.queries
+  def oracles: Map[String, String] =
+    geoOracles ++ relOracles ++ textOracles ++ OpsCatalog.oracles
 }

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.ops.{Similarity, TextAnalysis, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators (dedup / similarity / text
+ * analysis) as catalog queries with programmatically generated DuckDB
+ * oracles — the SQL is derived from the same constants as the Spark
+ * plans, so both sides compute identical arithmetic.
+ */
+object OpsCatalog {
+  import Catalog.Query
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val K = 16 // minhash permutations
+  private val SimBits = 62
+  private val Stopwords = Seq("the", "and", "of", "a", "in", "to")
+
+  // distinct (doc_id, token-hash) rows, shared by minhash/simhash oracles
+  private val tokSql =
+    "(SELECT DISTINCT doc_id, " + TextDedup.tokenHashSql("tok") + " AS h " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))"
+
+  private val minhashSelectSql: String = {
+    val aggs = (0 until K).map { i =>
+      val (a, b) = TextDedup.perm(i)
+      s"min((h * $a + $b) % ${TextDedup.P}) AS mh$i"
+    }.mkString(", ")
+    s"SELECT doc_id, $aggs FROM $tokSql t GROUP BY doc_id"
+  }
+
+  val queries: Map[String, Query] = Map(
+    "q_minhash" -> ((s, dir) => TextDedup.minhashSignatures(docs(s, dir), K)),
+
+    "q_lsh_pairs" -> ((s, dir) =>
+      TextDedup.lshCandidatePairs(
+        TextDedup.minhashSignatures(docs(s, dir), K), K, 2)),
+
+    "q_simhash" -> ((s, dir) => TextDedup.simhash(docs(s, dir), SimBits)),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      TextDedup.ngramJaccardPairs(docs(s, dir), n = 3, maxId = 200)),
+
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 3,
+        nPlanes = 8, dims = 64)
+    }),
+
+    "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(emb(s, dir), 16)),
+
+    "q_embed_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.5, maxId = 300)),
+
+    "q_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q_quality_metrics" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(docs(s, dir), Stopwords)),
+
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir), 5)),
+
+    // multimodal plumbing over the interleaved corpus; the spans are
+    // built with xxhash64 (not reproducible in the oracle engine), so
+    // these two get the rows-only check — their values are pinned by
+    // MultimodalSpec instead
+    "q_media_extract" -> ((s, dir) =>
+      graft.ops.Multimodal.extract(
+        graft.model.InterleavedCorpus.fromFlatDocuments(docs(s, dir))).toDF()),
+
+    "q_frame_sample" -> ((s, dir) =>
+      graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.extract(
+          graft.model.InterleavedCorpus.fromFlatDocuments(docs(s, dir))).toDF())
+        .select(col("doc_id"), col("media_ref"), size(col("sampled_frames")).as("n_sampled"))))
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private def bandJoinSql: String = {
+    val bandEq = (0 until K / 2).map { b =>
+      s"(a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1})"
+    }.mkString(" OR ")
+    val nMatch = (0 until K).map(i =>
+      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"WITH sigs AS ($minhashSelectSql) " +
+      s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($nMatch AS BIGINT) AS n_match " +
+      "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (" + bandEq + ")"
+  }
+
+  private def simhashSql: String = {
+    val sums = (0 until SimBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val pack = (0 until SimBits).map(b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM " +
+      s"(SELECT doc_id, $sums FROM $tokSql t GROUP BY doc_id)"
+  }
+
+  // constant-range series + filter: this DuckDB build rejects lateral
+  // column parameters in generate_series
+  private def gramsSql(n: Int, filter: String, maxLen: Int = 4096): String =
+    s"(SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), $n) AS gram " +
+      s"FROM (SELECT doc_id, text FROM documents $filter) d, " +
+      s"generate_series(1, $maxLen) g(i) " +
+      s"WHERE i <= GREATEST(len(d.text) - ${n - 1}, 1))"
+
+  private def ngramJaccardSql: String =
+    s"WITH grams AS ${gramsSql(3, "WHERE doc_id < 200")}, " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      "FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, inter * 1000000 // (sa.sz + sb.sz - inter) AS jaccard_ppm " +
+      "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b"
+
+  /** float64 dot product matching Similarity.dot bit-exactly. */
+  private def dotSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private def topkSql(k: Int): String =
+    "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (" +
+      "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      cosSql("q.embedding", "c.embedding") + " DESC, c.vec_id) AS rank " +
+      "FROM embeddings q, embeddings c " +
+      s"WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) WHERE rank <= $k"
+
+  private def bucketSql(v: String): String =
+    (0 until 8).map { p =>
+      val plane = (0 until 64).map(d =>
+        Similarity.planeComponent(p, d, 64).toDouble.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(v, s"$plane::DOUBLE[]")} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def annLshSql: String =
+    "WITH b AS (SELECT vec_id, embedding, " + bucketSql("embedding") +
+      " AS bucket FROM embeddings) " +
+      "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (" +
+      "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      cosSql("q.embedding", "c.embedding") + " DESC, c.vec_id) AS rank " +
+      "FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 " +
+      "AND c.vec_id <> q.vec_id) WHERE rank <= 3"
+
+  private def ivfSql: String =
+    "SELECT vec_id, centroid_id FROM (" +
+      "SELECT v.vec_id, c.vec_id AS centroid_id, " +
+      "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      dotSql("v.embedding", "c.embedding") + " DESC, c.vec_id) AS rn " +
+      "FROM embeddings v, embeddings c WHERE c.vec_id < 16) WHERE rn = 1"
+
+  private def embedDupSql: String =
+    "SELECT id_a, id_b, round(sim, 6) AS sim FROM (" +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      cosSql("a.embedding", "b.embedding") + " AS sim " +
+      "FROM embeddings a, embeddings b " +
+      "WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id) " +
+      "WHERE sim > 0.5"
+
+  private def langIdSql: String = {
+    val scores = TextAnalysis.LangProfiles.map { case (name, words) =>
+      val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      name -> s"len(list_filter(string_split(text, ' '), t -> t IN $set))"
+    }
+    val best = s"GREATEST(${scores.map(_._2).mkString(", ")})"
+    // first profile wins ties, matching the Scala fold order
+    val cases = scores.map { case (name, sc) =>
+      s"WHEN $sc = best AND best > 0 THEN '$name'"
+    }.mkString(" ")
+    s"SELECT doc_id, CASE $cases ELSE 'unknown' END AS lang_pred " +
+      s"FROM (SELECT doc_id, text, $best AS best FROM documents)"
+  }
+
+  private def qualitySql: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    "WITH tl AS (SELECT doc_id, tok, count(*) AS n FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "GROUP BY doc_id, tok) " +
+      "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+      "sum(len(tok) * n) * 1000000 // sum(n) AS mean_len_ppm, " +
+      s"sum(CASE WHEN tok IN $stop THEN n ELSE 0 END) * 1000000 // sum(n) AS stop_ppm, " +
+      "max(n) * 1000000 // sum(n) AS repeat_ppm " +
+      "FROM tl GROUP BY doc_id"
+  }
+
+  private def fingerprintSql: String =
+    s"SELECT doc_id, min(${TextDedup.tokenHashSql("gram")}) AS fingerprint " +
+      s"FROM ${gramsSql(5, "")} g GROUP BY doc_id"
+
+  val oracles: Map[String, String] = Map(
+    "q_minhash" -> minhashSelectSql,
+    "q_lsh_pairs" -> bandJoinSql,
+    "q_simhash" -> simhashSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_cosine_topk" -> topkSql(5),
+    "q_ann_lsh" -> annLshSql,
+    "q_ivf_assign" -> ivfSql,
+    "q_embed_dup" -> embedDupSql,
+    "q_langid" -> langIdSql,
+    "q_quality_metrics" -> qualitySql,
+    "q_fingerprint" -> fingerprintSql)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.model.InterleavedCorpus
+import graft.ops.{Multimodal, Similarity, TextDedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("minhash: identical texts get identical signatures") {
+    val sigs = TextDedup.minhashSignatures(docs, 16)
+    val joined = docs.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(sigs, "doc_id")
+      .groupBy("th")
+      .agg(countDistinct(struct((0 until 16).map(i => col(s"mh$i")): _*)).as("n"))
+    assert(joined.where(col("n") > 1).count() === 0)
+  }
+
+  test("lsh pairs: estimated similarity bounded and symmetric-free") {
+    val sigs = TextDedup.minhashSignatures(docs, 16)
+    val pairs = TextDedup.lshCandidatePairs(sigs, 16, 2).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered a < b")
+      val nm = r.getLong(2)
+      assert(nm >= 2 && nm <= 16, s"a candidate pair shares >= 1 band (2 comps): $nm")
+    }
+  }
+
+  test("simhash: identical texts identical hashes; hamming sane") {
+    val sh = TextDedup.simhash(docs, 62)
+    val byText = docs.join(sh, "doc_id")
+      .groupBy("text").agg(countDistinct("simhash").as("n"))
+    assert(byText.where(col("n") > 1).count() === 0)
+    val d = sh.limit(2).collect()
+    val h = TextDedup.hamming(lit(d(0).getLong(1)), lit(d(1).getLong(1)))
+    val dist = spark.range(1).select(h.cast("long")).collect()(0).getLong(0)
+    assert(dist >= 0 && dist <= 62)
+  }
+
+  test("ANN LSH: bucketed results are the bucket-restricted exact ranking") {
+    // the test embeddings are pure random vectors (labels uncorrelated
+    // with cosine), so recall against exhaustive search is not a
+    // meaningful property here; what must hold is structural: every
+    // returned neighbor shares the query's bucket, and the ranking
+    // equals the brute-force ranking restricted to that bucket
+    val queries = emb.where(col("vec_id") < 10)
+    val nPlanes = 4
+    val buckets = emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), nPlanes, 64).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val approx = Similarity.lshTopK(emb, queries, 3, nPlanes = nPlanes, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(approx.nonEmpty)
+    approx.foreach { case (q, n, _) =>
+      assert(buckets(q) === buckets(n), s"neighbor $n of $q from another bucket")
+    }
+    // rank-1 within bucket == exact top-1 among same-bucket candidates
+    val exact = Similarity.bruteForceTopK(emb, queries, 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    approx.filter(_._3 == 1).foreach { case (q, n, _) =>
+      val bucketBest = exact(q).sortBy(_._3)
+        .find(e => buckets(e._2) == buckets(q)).get._2
+      assert(n === bucketBest, s"query $q: got $n want $bucketBest")
+    }
+  }
+
+  test("IVF assignment: centroids assign to themselves") {
+    val assign = Similarity.ivfAssign(emb, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 16L).foreach { c =>
+      assert(assign(c) === c, s"centroid $c must be its own nearest centroid")
+    }
+    assert(assign.size === emb.count())
+  }
+
+  test("multimodal: extraction is deterministic, schema-typed, media-only") {
+    val corpus = InterleavedCorpus.fromFlatDocuments(docs)
+    val decoded = Multimodal.extract(corpus).cache()
+    val n = decoded.count()
+    assert(n > 0)
+    // no text spans leak through; kinds have the right fake metadata shape
+    assert(decoded.where(col("kind") === "text").count() === 0)
+    assert(decoded.where(col("kind") === "image" &&
+      (col("width") < 160 || col("height") < 120)).count() === 0)
+    assert(decoded.where(col("kind") === "audio" && col("sample_rate") <= 0).count() === 0)
+    // deterministic across runs
+    val again = Multimodal.extract(corpus)
+    assert(decoded.exceptAll(again).count() === 0)
+    assert(again.exceptAll(decoded).count() === 0)
+    // frame sampling bounded by frame count
+    val sampled = Multimodal.sampleFrames(decoded.toDF())
+    assert(sampled.where(size(col("sampled_frames")) >
+      col("n_frames") / 25 + 1).count() === 0)
+  }
+}
