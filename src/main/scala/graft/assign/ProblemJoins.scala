@@ -1,0 +1,110 @@
+package graft.assign
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Joins for border-crossing ("problem") linked structures — the
+ * reference's MultiTileProcessor machinery re-expressed as broadcast
+ * theta-joins with integer-exact geometric predicates:
+ *
+ *  - J4: link-bbox x tile-rect intersection join
+ *    (`MultiTileProcessor.checkBoundingBox:596-608`)
+ *  - J5: segment x tile-rect crossing join
+ *    (`MultiTileProcessor.addWritersOfCrossedTiles:669-675`)
+ *  - J8: recursive membership closure over link->link references
+ *    (`MultiTileProcessor.markProblemMembers:298-350`)
+ *
+ * All predicates are pure 64-bit integer arithmetic on map units
+ * (cross products bounded by 2^50), so they evaluate identically in
+ * any engine and stay inside whole-stage codegen.
+ */
+object ProblemJoins {
+
+  /** Per-link bounding box from member point coordinates:
+    * (link_id, min_lat, min_lon, max_lat, max_lon). */
+  def linkBboxes(members: DataFrame): DataFrame =
+    members.groupBy("link_id").agg(
+      min(col("lat_mu")).as("min_lat"), min(col("lon_mu")).as("min_lon"),
+      max(col("lat_mu")).as("max_lat"), max(col("lon_mu")).as("max_lon"))
+
+  /** Closed rect-rect intersection predicate (shared edges count,
+    * matching the engine's closed-boundary semantics). */
+  def rectIntersects(aMinLat: Column, aMinLon: Column, aMaxLat: Column, aMaxLon: Column,
+                     bMinLat: Column, bMinLon: Column, bMaxLat: Column, bMaxLon: Column): Column =
+    aMinLat <= bMaxLat && aMaxLat >= bMinLat &&
+      aMinLon <= bMaxLon && aMaxLon >= bMinLon
+
+  /** J4: every (link, tile) pair whose bbox intersects the (padded)
+    * tile rect. `tiles` is a small dimension — broadcast nested-loop
+    * with the residual predicate, the canonical plan for an interval
+    * join against a bounded build side. */
+  def bboxTileJoin(bboxes: DataFrame, tiles: DataFrame): DataFrame =
+    bboxes.join(broadcast(tiles),
+      rectIntersects(
+        col("min_lat"), col("min_lon"), col("max_lat"), col("max_lon"),
+        col("t_min_lat"), col("t_min_lon"), col("t_max_lat"), col("t_max_lon")))
+      .select(col("link_id"), col("map_id"))
+
+  /**
+   * Closed-rect x segment intersection, exact in integers:
+   * bboxes must overlap AND the rect's four corners must not lie
+   * strictly on one side of the segment's supporting line (min and
+   * max corner cross-products straddle zero). Degenerate segments
+   * reduce to point-in-rect.
+   */
+  def segmentIntersectsRect(x1: Column, y1: Column, x2: Column, y2: Column,
+                            minLat: Column, minLon: Column,
+                            maxLat: Column, maxLon: Column): Column = {
+    val dx = (x2 - x1).cast("long")
+    val dy = (y2 - y1).cast("long")
+    def cross(cx: Column, cy: Column): Column =
+      dx * (cy - y1).cast("long") - dy * (cx - x1).cast("long")
+    val c1 = cross(minLon, minLat)
+    val c2 = cross(minLon, maxLat)
+    val c3 = cross(maxLon, minLat)
+    val c4 = cross(maxLon, maxLat)
+    val bboxOverlap =
+      least(x1, x2) <= maxLon && greatest(x1, x2) >= minLon &&
+        least(y1, y2) <= maxLat && greatest(y1, y2) >= minLat
+    bboxOverlap && least(c1, c2, c3, c4) <= 0 && greatest(c1, c2, c3, c4) >= 0
+  }
+
+  /** J5: (segment, tile) crossing pairs. `segments` columns:
+    * link_id, x1, y1, x2, y2 (consecutive member points, order
+    * preserved from the member array — the span-order invariant). */
+  def segmentTileJoin(segments: DataFrame, tiles: DataFrame): DataFrame =
+    segments.join(broadcast(tiles),
+      segmentIntersectsRect(col("x1"), col("y1"), col("x2"), col("y2"),
+        col("t_min_lat"), col("t_min_lon"), col("t_max_lat"), col("t_max_lon")))
+      .select(col("link_id"), col("map_id")).distinct()
+
+  /**
+   * J8: transitive membership closure. `edges` (parent_id, child_id)
+   * may nest up to `maxDepth` levels (the reference caps at 15 and
+   * detects loops the same way: iteration stops when no new pair
+   * appears). Returns (root_id, leaf_id) for every reachable leaf.
+   * Each round is one self-equi-join — a fixpoint of Dataset joins,
+   * not a driver walk.
+   */
+  def membershipClosure(edges: DataFrame, maxDepth: Int = 15): DataFrame = {
+    val e = edges.select(col("parent_id"), col("child_id")).cache()
+    var closure = e.select(col("parent_id").as("root_id"), col("child_id").as("leaf_id"))
+    var frontier = closure
+    var depth = 1
+    var growing = true
+    while (growing && depth < maxDepth) {
+      val next = frontier
+        .join(e.withColumnRenamed("parent_id", "leaf_id"), "leaf_id")
+        .select(col("root_id"), col("child_id").as("leaf_id"))
+      val newPairs = next.exceptAll(closure)
+      if (newPairs.isEmpty) growing = false
+      else {
+        closure = closure.unionByName(newPairs).distinct()
+        frontier = newPairs
+        depth += 1
+      }
+    }
+    closure
+  }
+}

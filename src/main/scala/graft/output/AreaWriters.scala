@@ -93,6 +93,22 @@ object AreaWriters {
     } finally pw.close()
   }
 
+  /** Parse a problem-file (`way: <id>` / `rel: <id>` lines) — the
+    * user-supplied problem-id source, reference
+    * `ProblemLists.readProblemIds:129-179`. */
+  def readProblemList(path: String): (Seq[String], Seq[String]) = {
+    val way = """way:\s*(\S+).*""".r
+    val rel = """rel:\s*(\S+).*""".r
+    val src = scala.io.Source.fromFile(path)
+    try {
+      val ids = src.getLines().map(_.trim).collect {
+        case way(id) => ("way", id)
+        case rel(id) => ("rel", id)
+      }.toList
+      (ids.collect { case ("way", id) => id }, ids.collect { case ("rel", id) => id })
+    } finally src.close()
+  }
+
   /** Sorted problem ids, reference format `way: <id> #` / `rel: <id> #`
     * (`ProblemLists.writeProblemList:190-216`). */
   def writeProblemList(path: String, wayIds: Seq[String], relIds: Seq[String]): Unit = {

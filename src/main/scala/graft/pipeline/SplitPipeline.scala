@@ -120,9 +120,28 @@ object SplitPipeline {
         val as = solve(g, cfg)
         AreaWriters.writeAreasList(areasPath, as)
         AreaWriters.writeTemplateArgs(s"$outDir/template.args", as)
+        graft.output.PolyWriters.writePoly(s"$outDir/areas.poly", "areas",
+          as.map(_.rect))
+        graft.output.PolyWriters.writeKml(s"$outDir/areas.kml", as)
         (g, as)
       }
     val assigned = assign(spark, points, areas, cfg)
     SplitResult(areas, grid, assigned)
+  }
+
+  /** Per-partition lineage + row-count metrics of a phase output —
+    * the observability contract (one cheap aggregation; appended as
+    * JSONL so successive phases/rounds accumulate). */
+  def recordMetrics(df: DataFrame, phase: String, outDir: String): Unit = {
+    val rows = df.groupBy(org.apache.spark.sql.functions.spark_partition_id()
+        .as("partition_id"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .collect()
+    val lines = rows.map(r =>
+      s"""{"phase":"$phase","partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+    Files.writeString(Paths.get(s"$outDir/metrics.jsonl"),
+      lines.mkString("", "\n", "\n"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 }

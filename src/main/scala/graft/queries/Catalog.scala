@@ -88,6 +88,15 @@ object Catalog {
       assignFixed(s, dir, 0).groupBy("map_id")
         .agg(count(lit(1)).as("doc_count"))),
 
+    "q_h3_density" -> ((s, dir) => {
+      // density over the hierarchical cell index via the codegen'd
+      // h3lite_encode expression (north-star custom cell encode)
+      val p = points(s, dir)
+      p.groupBy(graft.functions.H3LiteExpr
+          .h3liteEncode(col("lat_mu"), col("lon_mu"), 7).as("cell"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     "q_problem_links" -> ((s, dir) => {
       val p = points(s, dir)
       val assignment = TileAssigner.withTileIds(s, p, col("lat_mu"), col("lon_mu"),
@@ -123,6 +132,17 @@ object Catalog {
 
     "q_tile_counts" ->
       s"SELECT map_id, CAST(count(*) AS BIGINT) AS doc_count FROM (${assignSql(0)}) GROUP BY map_id",
+
+    "q_h3_density" -> {
+      val res = 7
+      val latBits = s"((lat_mu + 8388608) // ${1 << (24 - res)})"
+      val lonBits = s"((lon_mu + 8388608) // ${1 << (24 - res)})"
+      val morton = (0 until res).map(i =>
+        s"(($lonBits // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+          s"(($latBits // ${1L << i}) % 2) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"SELECT ${res.toLong << 58} + $morton AS cell, " +
+        s"CAST(count(*) AS BIGINT) AS cnt FROM $ptsSql p GROUP BY 1"
+    },
 
     "q_problem_links" ->
       (s"SELECT doc_id // 5 AS link_id, CAST(count(DISTINCT map_id) AS BIGINT) AS n_tiles, " +
@@ -248,7 +268,9 @@ object Catalog {
         "FROM documents)"))
 
   def all: Map[String, Query] =
-    geoQueries ++ relQueries ++ textQueries ++ OpsCatalog.queries
+    geoQueries ++ relQueries ++ textQueries ++ OpsCatalog.queries ++
+      LinkCatalog.queries
   def oracles: Map[String, String] =
-    geoOracles ++ relOracles ++ textOracles ++ OpsCatalog.oracles
+    geoOracles ++ relOracles ++ textOracles ++ OpsCatalog.oracles ++
+      LinkCatalog.oracles
 }

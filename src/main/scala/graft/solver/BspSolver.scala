@@ -57,12 +57,20 @@ final class BspSolver(val grid: DensityGrid,
   private def log(s: => String): Unit = if (!quiet) println(s)
 
   /** Solve the whole grid into tile rectangles in map units. */
-  def split(): List[TileRect] = {
+  def split(): List[TileRect] = splitConstrained(None)
+
+  /** Solve, optionally constrained to a rastered bounding polygon
+    * (bit x*height+y set = cell intersects the polygon). */
+  def splitConstrained(polyBits: Option[java.util.BitSet]): List[TileRect] = {
     if (grid.totalCount == 0) return Nil
-    solverGrid = new SolverGrid(grid)
-    val startTile = GridTile.whole(solverGrid)
+    solverGrid = new SolverGrid(grid, polyBits)
+    trimTiles = polyBits.isDefined
+    val startTile =
+      if (polyBits.isDefined) GridTile.whole(solverGrid).trim()
+      else GridTile.whole(solverGrid)
     val startTiles =
-      if (trimShape || grid.bounds.width >= 0x1000000)
+      if (polyBits.isDefined) List(startTile)
+      else if (trimShape || grid.bounds.width >= 0x1000000)
         checkForEmptyClusters(0, startTile, splitHoriz = true)
       else List(startTile)
 
