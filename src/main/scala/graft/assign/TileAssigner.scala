@@ -43,13 +43,23 @@ object TileAssigner {
   def tileCounts(assigned: DataFrame): DataFrame =
     assigned.groupBy("map_id").agg(count(lit(1)).as("doc_count"))
 
+  /** Element-version output policy (reference
+    * `writer/AbstractOSMWriter.java:28-62`): keep the column, fake it
+    * to a constant, or remove it. */
+  def withVersionPolicy(df: DataFrame, policy: String): DataFrame = policy match {
+    case "remove" => if (df.columns.contains("version")) df.drop("version") else df
+    case "fake" => df.withColumn("version", lit(1))
+    case _ => df
+  }
+
   /**
    * Write the fan-out partitioned by tile. One shuffle
    * (repartition by map_id) so each tile directory is written by few
    * tasks instead of every task appending to every tile.
    */
-  def writePartitioned(assigned: DataFrame, outDir: String): Unit =
-    assigned
+  def writePartitioned(assigned: DataFrame, outDir: String,
+                       versionPolicy: String = "keep"): Unit =
+    withVersionPolicy(assigned, versionPolicy)
       .repartition(col("map_id"))
       .write.mode("overwrite")
       .partitionBy("map_id")

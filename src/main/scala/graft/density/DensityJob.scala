@@ -71,6 +71,20 @@ object DensityJob {
   }
 
   /**
+   * Merge a background (sea) histogram into a primary (land) one:
+   * cells with no land count take `seaCount * factor`, land wins
+   * otherwise — a raster-raster full-outer reconcile (reference
+   * `DensityMap.mergeSeaData:349-428`, SEA_NODE_FACTOR = 2).
+   */
+  def mergeHistograms(land: DataFrame, sea: DataFrame, factor: Int = 2): DataFrame =
+    land.withColumnRenamed("cnt", "land_cnt")
+      .join(sea.withColumnRenamed("cnt", "sea_cnt"),
+        Seq("cell_x", "cell_y"), "full_outer")
+      .select(col("cell_x"), col("cell_y"),
+        when(col("land_cnt").isNotNull, col("land_cnt"))
+          .otherwise(col("sea_cnt") * factor).as("cnt"))
+
+  /**
    * Collect a histogram into the driver-side [[DensityGrid]].
    *
    * Each result partition packs its (cell_key, cnt) rows into two

@@ -88,6 +88,21 @@ object Catalog {
       assignFixed(s, dir, 0).groupBy("map_id")
         .agg(count(lit(1)).as("doc_count"))),
 
+    "q_density_merge" -> ((s, dir) => {
+      // A4 raster-raster reconcile: document density as land, event
+      // density as the sea/background raster
+      val land = DensityJob.histogram(points(s, dir),
+        col("lat_mu"), col("lon_mu"), gb, FixedTiles.Resolution)
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        CoordSynthesis.latCol(col("event_id")).cast("long").as("lat_mu"),
+        CoordSynthesis.lonCol(col("event_id")).cast("long").as("lon_mu"))
+      val sea = DensityJob.histogram(ev,
+        col("lat_mu"), col("lon_mu"), gb, FixedTiles.Resolution)
+      DensityJob.mergeHistograms(land, sea)
+        .select(col("cell_x").cast("long").as("cell_x"),
+          col("cell_y").cast("long").as("cell_y"), col("cnt"))
+    }),
+
     "q_h3_density" -> ((s, dir) => {
       // density over the hierarchical cell index via the codegen'd
       // h3lite_encode expression (north-star custom cell encode)
@@ -132,6 +147,23 @@ object Catalog {
 
     "q_tile_counts" ->
       s"SELECT map_id, CAST(count(*) AS BIGINT) AS doc_count FROM (${assignSql(0)}) GROUP BY map_id",
+
+    "q_density_merge" -> {
+      def histSql(src: String): String =
+        s"SELECT CAST(LEAST((lon_mu - (${gb.minLon})) // ${1 << shift}, ${gw - 1}) AS BIGINT) AS cell_x, " +
+          s"CAST(LEAST((lat_mu - (${gb.minLat})) // ${1 << shift}, ${gh - 1}) AS BIGINT) AS cell_y, " +
+          s"CAST(count(*) AS BIGINT) AS cnt FROM $src p " +
+          s"WHERE lat_mu BETWEEN ${gb.minLat} AND ${gb.maxLat} " +
+          s"AND lon_mu BETWEEN ${gb.minLon} AND ${gb.maxLon} GROUP BY 1, 2"
+      val evPts = s"(SELECT ${CoordSynthesis.latSql("event_id")} AS lat_mu, " +
+        s"${CoordSynthesis.lonSql("event_id")} AS lon_mu FROM events)"
+      s"WITH land AS (${histSql(ptsSql)}), sea AS (${histSql(evPts)}) " +
+        "SELECT COALESCE(land.cell_x, sea.cell_x) AS cell_x, " +
+        "COALESCE(land.cell_y, sea.cell_y) AS cell_y, " +
+        "CASE WHEN land.cnt IS NOT NULL THEN land.cnt ELSE sea.cnt * 2 END AS cnt " +
+        "FROM land FULL OUTER JOIN sea " +
+        "ON land.cell_x = sea.cell_x AND land.cell_y = sea.cell_y"
+    },
 
     "q_h3_density" -> {
       val res = 7

@@ -69,6 +69,16 @@ object PolygonSupport {
     val bits = rasterToGrid(poly, grid)
     val solver = new BspSolver(grid, searchLimit)
     solver.maxNodes = maxNodes
-    solver.splitConstrained(Some(bits))
+    solver.splitConstrained(Some(bits)).map { r =>
+      // clip each tile back to the polygon where the intersection is
+      // still a rectangle (grid-aligned tiles overhang unaligned
+      // polygon edges otherwise) — reference `getAreas:914-921`
+      val cut = new AwtArea(new Rectangle(r.minLon, r.minLat, r.width, r.height))
+      cut.intersect(poly)
+      if (!cut.isEmpty && cut.isRectangular) {
+        val b = cut.getBounds
+        TileRect(b.y, b.x, b.y + b.height, b.x + b.width)
+      } else r
+    }
   }
 }

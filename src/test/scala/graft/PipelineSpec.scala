@@ -78,6 +78,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2 === c8)
   }
 
+  test("partitioned per-tile write (K1 analog) round trips") {
+    val docs = InterleavedCorpus.synthesize(spark, 3000, partitions = 4)
+    val cfg = SplitConfig(maxNodes = 400L)
+    val res = SplitPipeline.run(spark, docs, cfg, tmpDir())
+    val outDir = tmpDir() + "/tiles"
+    graft.assign.TileAssigner.writePartitioned(
+      res.assigned.withColumn("version", lit(7)), outDir, versionPolicy = "fake")
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === res.assigned.count())
+    // one directory per tile, version policy applied
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("map_id="))
+    assert(dirs.length === res.assigned.select("map_id").distinct().count())
+    assert(back.select("version").distinct().collect().map(_.getInt(0)).toSeq === Seq(1))
+    // per-tile row counts survive the write
+    val before = res.assigned.groupBy("map_id").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val after = back.groupBy("map_id").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(before === after)
+  }
+
+  test("named-polygon split separates distinct and shared parts") {
+    import graft.solver.{NamedPolygon, NamedPolygonSplit}
+    val pts = TestSurfaces.pointsUniform(20000)
+    val grid = TestSurfaces.gridOf(pts, 12)
+    val b = grid.bounds
+    def rectPoly(minLat: Int, minLon: Int, maxLat: Int, maxLon: Int) = {
+      val p = new java.awt.Polygon()
+      p.addPoint(minLon, minLat); p.addPoint(minLon, maxLat)
+      p.addPoint(maxLon, maxLat); p.addPoint(maxLon, minLat)
+      new java.awt.geom.Area(p)
+    }
+    val midLon = b.minLon + b.width / 2
+    // west and east halves overlapping in a central band
+    val west = NamedPolygon("west", rectPoly(b.minLat, b.minLon, b.maxLat, midLon + b.width / 8))
+    val east = NamedPolygon("east", rectPoly(b.minLat, midLon - b.width / 8, b.maxLat, b.maxLon))
+    val parts = NamedPolygonSplit.split(grid, Seq(west, east), 4000)
+    val names = parts.map(_._1)
+    assert(names.contains("west") && names.contains("east"))
+    assert(names.exists(_.contains(" and ")), s"no shared part in $names")
+    // tiles across all parts stay disjoint
+    val all = parts.flatMap(_._2)
+    for (i <- all.indices; j <- i + 1 until all.size)
+      assert(!all(i).overlaps(all(j)), s"${all(i)} overlaps ${all(j)}")
+  }
+
   test("interleaved corpus invariants: offsets are array positions") {
     val docs = InterleavedCorpus.synthesize(spark, 1000, partitions = 2)
     val bad = docs.select(explode(col("spans")).as("s"), col("doc_id"))
