@@ -88,6 +88,32 @@ object Catalog {
       assignFixed(s, dir, 0).groupBy("map_id")
         .agg(count(lit(1)).as("doc_count"))),
 
+    // A2+A3: per-tile column marginals -> running sum -> weighted
+    // median split position, fully as a dataflow (the distributed
+    // analog of the solver's findHorizontalMiddle, and one round of
+    // the IterativeSplitter expressed declaratively)
+    "q_split_position" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = points(s, dir)
+      val withTile = p
+        .withColumn("map_id",
+          (when(col("lon_mu") < lit(gb.minLon + (((gb.width >> shift) / 3) << shift) * 1L), 0)
+            .otherwise(1)).cast("long"))
+      val marginals = withTile
+        .groupBy(col("map_id"),
+          DensityJob.cellX(col("lon_mu"), gb, shift).cast("long").as("cx"))
+        .agg(count(lit(1)).as("m"))
+      val w = Window.partitionBy("map_id").orderBy("cx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("map_id")
+      marginals
+        .withColumn("cum", sum(col("m")).over(w))
+        .withColumn("total", sum(col("m")).over(tw))
+        .where(col("cum") * 2 >= col("total"))
+        .groupBy("map_id")
+        .agg(min(col("cx")).as("split_cx"))
+    }),
+
     "q_density_merge" -> ((s, dir) => {
       // A4 raster-raster reconcile: document density as land, event
       // density as the sea/background raster
@@ -147,6 +173,18 @@ object Catalog {
 
     "q_tile_counts" ->
       s"SELECT map_id, CAST(count(*) AS BIGINT) AS doc_count FROM (${assignSql(0)}) GROUP BY map_id",
+
+    "q_split_position" -> {
+      val edge = gb.minLon + (((gb.width >> shift) / 3) << shift).toLong
+      s"WITH pts AS (SELECT *, CASE WHEN lon_mu < $edge THEN 0 ELSE 1 END AS map_id FROM $ptsSql p), " +
+        s"marg AS (SELECT map_id, CAST(LEAST((lon_mu - (${gb.minLon})) // ${1 << shift}, ${gw - 1}) AS BIGINT) AS cx, " +
+        "CAST(count(*) AS BIGINT) AS m FROM pts GROUP BY 1, 2), " +
+        "cums AS (SELECT map_id, cx, sum(m) OVER (PARTITION BY map_id ORDER BY cx " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(m) OVER (PARTITION BY map_id) AS total FROM marg) " +
+        "SELECT CAST(map_id AS BIGINT) AS map_id, min(cx) AS split_cx FROM cums " +
+        "WHERE cum * 2 >= total GROUP BY 1"
+    },
 
     "q_density_merge" -> {
       def histSql(src: String): String =
