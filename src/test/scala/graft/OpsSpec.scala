@@ -77,6 +77,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted and unsalted link membership agree (skew path)") {
+    import graft.assign.LinkMembership
+    val assignment = docs.select(col("doc_id"),
+      array((col("doc_id") % 7).cast("int"),
+        (col("doc_id") % 3).cast("int")).as("tile_ids"))
+    val links = docs.select(expr("doc_id div 5").as("link_id")).distinct()
+      .select(col("link_id"),
+        sequence(col("link_id") * 5, col("link_id") * 5 + 4).as("member_ids"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("link_id", "tile_ids", "is_problem")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getBoolean(2))).toSet
+    val plain = canon(LinkMembership.linkTiles(links, assignment, salted = false))
+    val salted = canon(LinkMembership.linkTiles(links, assignment, salted = true))
+    assert(plain === salted)
+  }
+
   test("IVF assignment: centroids assign to themselves") {
     val assign = Similarity.ivfAssign(emb, 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
