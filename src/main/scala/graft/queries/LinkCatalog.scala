@@ -124,19 +124,24 @@ object LinkCatalog {
         "bb.min_lat <= t.t_max_lat AND bb.max_lat >= t.t_min_lat AND " +
         "bb.min_lon <= t.t_max_lon AND bb.max_lon >= t.t_min_lon"),
 
+    // NOTE: LEAST/GREATEST over two COLUMNS inside a join predicate
+    // hits a DuckDB internal error ("requires a flat vector") at
+    // larger row counts and poisons the connection for all later
+    // queries; the predicate is therefore expressed in pure OR form
+    // (LEAST(a,b) <= c  ===  a <= c OR b <= c), which is also what
+    // the Spark side's least/greatest compiles down to semantically.
     "q_segment_cross" ->
-      (s"SELECT DISTINCT link_id, CAST(map_id AS BIGINT) AS map_id " +
+      ("WITH segt AS (SELECT s.link_id, t.map_id, " +
+        "(s.x2 - s.x1) * (t.t_min_lat - s.y1) - (s.y2 - s.y1) * (t.t_min_lon - s.x1) AS c1, " +
+        "(s.x2 - s.x1) * (t.t_max_lat - s.y1) - (s.y2 - s.y1) * (t.t_min_lon - s.x1) AS c2, " +
+        "(s.x2 - s.x1) * (t.t_min_lat - s.y1) - (s.y2 - s.y1) * (t.t_max_lon - s.x1) AS c3, " +
+        "(s.x2 - s.x1) * (t.t_max_lat - s.y1) - (s.y2 - s.y1) * (t.t_max_lon - s.x1) AS c4 " +
         s"FROM $segmentsSql s JOIN $tilesSql t ON " +
-        "LEAST(s.x1, s.x2) <= t.t_max_lon AND GREATEST(s.x1, s.x2) >= t.t_min_lon AND " +
-        "LEAST(s.y1, s.y2) <= t.t_max_lat AND GREATEST(s.y1, s.y2) >= t.t_min_lat AND " +
-        "LEAST((s.x2 - s.x1) * (t.t_min_lat - s.y1) - (s.y2 - s.y1) * (t.t_min_lon - s.x1), " +
-        "      (s.x2 - s.x1) * (t.t_max_lat - s.y1) - (s.y2 - s.y1) * (t.t_min_lon - s.x1), " +
-        "      (s.x2 - s.x1) * (t.t_min_lat - s.y1) - (s.y2 - s.y1) * (t.t_max_lon - s.x1), " +
-        "      (s.x2 - s.x1) * (t.t_max_lat - s.y1) - (s.y2 - s.y1) * (t.t_max_lon - s.x1)) <= 0 AND " +
-        "GREATEST((s.x2 - s.x1) * (t.t_min_lat - s.y1) - (s.y2 - s.y1) * (t.t_min_lon - s.x1), " +
-        "      (s.x2 - s.x1) * (t.t_max_lat - s.y1) - (s.y2 - s.y1) * (t.t_min_lon - s.x1), " +
-        "      (s.x2 - s.x1) * (t.t_min_lat - s.y1) - (s.y2 - s.y1) * (t.t_max_lon - s.x1), " +
-        "      (s.x2 - s.x1) * (t.t_max_lat - s.y1) - (s.y2 - s.y1) * (t.t_max_lon - s.x1)) >= 0"),
+        "(s.x1 <= t.t_max_lon OR s.x2 <= t.t_max_lon) AND (s.x1 >= t.t_min_lon OR s.x2 >= t.t_min_lon) AND " +
+        "(s.y1 <= t.t_max_lat OR s.y2 <= t.t_max_lat) AND (s.y1 >= t.t_min_lat OR s.y2 >= t.t_min_lat)) " +
+        "SELECT DISTINCT link_id, CAST(map_id AS BIGINT) AS map_id FROM segt " +
+        "WHERE (c1 <= 0 OR c2 <= 0 OR c3 <= 0 OR c4 <= 0) " +
+        "AND (c1 >= 0 OR c2 >= 0 OR c3 >= 0 OR c4 >= 0)"),
 
     "q_closure" ->
       (s"WITH e AS $edgesSql " +
