@@ -21,6 +21,7 @@ object SparkEntry {
       .createTempDirectory("graft_entry").toString
     val cfg = SplitConfig(maxNodes = 100L, trim = true)
     val res = SplitPipeline.run(spark, docs, cfg, outDir)
+    SplitPipeline.recordMetrics(res.assigned, "assign", outDir)
     res.assigned.groupBy(col("map_id"))
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("map_id"))

@@ -89,6 +89,20 @@ object LinkCatalog {
     "q_closure" -> ((s, dir) =>
       ProblemJoins.membershipClosure(edges(s, dir))),
 
+    // keep-complete composition: a link's output tiles are the union
+    // of its members' point tiles (J2) and the tiles its segments
+    // cross (J5) — the reference's keep-complete duplication
+    // (`MultiTileProcessor.addWritersOfWay:684-731`)
+    "q_keep_complete" -> ((s, dir) => {
+      val memberTiles = members(s, dir)
+        .join(tilesDf(s),
+          col("lat_mu") >= col("t_min_lat") && col("lat_mu") <= col("t_max_lat") &&
+            col("lon_mu") >= col("t_min_lon") && col("lon_mu") <= col("t_max_lon"))
+        .select(col("link_id"), col("map_id"))
+      val crossed = ProblemJoins.segmentTileJoin(segments(s, dir), tilesDf(s))
+      memberTiles.unionByName(crossed).distinct()
+    }),
+
     // J6: tile naming — top-population city inside each tile bbox
     // (reference `AreaList.setAreaNames:272-298`): spatial containment
     // join against a broadcast dimension + top-1 window
@@ -148,6 +162,27 @@ object LinkCatalog {
         "SELECT parent_id AS root_id, child_id AS leaf_id FROM e " +
         "UNION " +
         "SELECT a.parent_id, b.child_id FROM e a JOIN e b ON a.child_id = b.parent_id"),
+
+    "q_keep_complete" -> {
+      val memberSql =
+        s"SELECT p.doc_id // 5 AS link_id, CAST(t.map_id AS BIGINT) AS map_id " +
+          s"FROM $ptsSql p JOIN $tilesSql t ON " +
+          "p.lat_mu BETWEEN t.t_min_lat AND t.t_max_lat AND " +
+          "p.lon_mu BETWEEN t.t_min_lon AND t.t_max_lon"
+      val crossSql =
+        "SELECT link_id, CAST(map_id AS BIGINT) AS map_id FROM (" +
+          "SELECT s.link_id, t.map_id, " +
+          "(s.x2 - s.x1) * (t.t_min_lat - s.y1) - (s.y2 - s.y1) * (t.t_min_lon - s.x1) AS c1, " +
+          "(s.x2 - s.x1) * (t.t_max_lat - s.y1) - (s.y2 - s.y1) * (t.t_min_lon - s.x1) AS c2, " +
+          "(s.x2 - s.x1) * (t.t_min_lat - s.y1) - (s.y2 - s.y1) * (t.t_max_lon - s.x1) AS c3, " +
+          "(s.x2 - s.x1) * (t.t_max_lat - s.y1) - (s.y2 - s.y1) * (t.t_max_lon - s.x1) AS c4 " +
+          s"FROM $segmentsSql s JOIN $tilesSql t ON " +
+          "(s.x1 <= t.t_max_lon OR s.x2 <= t.t_max_lon) AND (s.x1 >= t.t_min_lon OR s.x2 >= t.t_min_lon) AND " +
+          "(s.y1 <= t.t_max_lat OR s.y2 <= t.t_max_lat) AND (s.y1 >= t.t_min_lat OR s.y2 >= t.t_min_lat)) " +
+          "WHERE (c1 <= 0 OR c2 <= 0 OR c3 <= 0 OR c4 <= 0) " +
+          "AND (c1 >= 0 OR c2 >= 0 OR c3 >= 0 OR c4 >= 0)"
+      s"SELECT DISTINCT link_id, map_id FROM (($memberSql) UNION ALL ($crossSql))"
+    },
 
     "q_tile_names" ->
       ("WITH cities AS (SELECT c_custkey AS city_id, c_name AS city_name, " +

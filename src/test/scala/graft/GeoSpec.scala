@@ -47,6 +47,14 @@ class GeoSpec extends AnyFunSuite {
     assert(r.containsRect(TileRect(-2796203, -5592406, 2796203, 5592406)))
   }
 
+  test("overlap defaults follow keep-complete mode (reference Main.java:432-449)") {
+    import graft.pipeline.SplitConfig
+    assert(SplitConfig(keepComplete = true).effectiveOverlap === 0)
+    assert(SplitConfig(keepComplete = false).effectiveOverlap === 2000)
+    assert(SplitConfig(keepComplete = false, overlap = 500).effectiveOverlap === 500)
+    assert(SplitConfig(keepComplete = true, overlap = 500).effectiveOverlap === 500)
+  }
+
   test("coordinate synthesis stays in window and is deterministic") {
     for (id <- 0L until 5000L) {
       val (lat, lon) = CoordSynthesis.latLonOf(id)
