@@ -256,6 +256,36 @@ object Catalog {
         round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
     }),
 
+    // three-way join: broadcast dims onto the fact table, then
+    // aggregate — lets AQE/Catalyst pick and reorder join strategy
+    "q_multi_join" -> ((s, dir) =>
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))),
+
+    // gap sessionization over the event stream: lag window -> session
+    // id by cumulative gap flags -> per-session aggregates
+    "q_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp"))) > 3600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"))
+    }),
+
     "q_semi" -> ((s, dir) =>
       customer(s, dir)
         .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -289,6 +319,26 @@ object Catalog {
         "PARTITION BY o_custkey ORDER BY o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total " +
         "FROM orders"),
+
+    "q_multi_join" ->
+      ("SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment, o_orderpriority"),
+
+    "q_sessions" ->
+      ("WITH flagged AS (SELECT user_id, session_id, event_id FROM (" +
+        "SELECT user_id, event_id, " +
+        "sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (" +
+        "SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events))) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+        "CAST(count(*) AS BIGINT) AS n_events, min(event_id) AS first_event " +
+        "FROM flagged GROUP BY user_id, session_id"),
 
     "q_semi" ->
       ("SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_with_orders FROM customer " +
