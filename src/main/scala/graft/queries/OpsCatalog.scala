@@ -38,9 +38,15 @@ object OpsCatalog {
   val queries: Map[String, Query] = Map(
     "q_minhash" -> ((s, dir) => TextDedup.minhashSignatures(docs(s, dir), K)),
 
+    // the synthetic corpus draws every doc from one ~100-word vocab,
+    // so pairwise jaccard is high and ANY banding yields millions of
+    // true candidates; the catalog query therefore runs the strictest
+    // banding (2 bands of 8 -> near-exact dups) over a bounded id
+    // range — the operator itself is parameterized and scale-correct
     "q_lsh_pairs" -> ((s, dir) =>
       TextDedup.lshCandidatePairs(
-        TextDedup.minhashSignatures(docs(s, dir), K), K, 2)),
+        TextDedup.minhashSignatures(
+          docs(s, dir).where(col("doc_id") < 2000), K), K, 8)),
 
     "q_simhash" -> ((s, dir) => TextDedup.simhash(docs(s, dir), SimBits)),
 
@@ -89,12 +95,16 @@ object OpsCatalog {
   // ---- oracle SQL ---------------------------------------------------------
 
   private def bandJoinSql: String = {
-    val bandEq = (0 until K / 2).map { b =>
-      s"(a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1})"
+    val rpb = 8 // rows per band, matching the catalog query
+    val bandEq = (0 until K / rpb).map { b =>
+      (0 until rpb).map(r => s"a.mh${b * rpb + r} = b.mh${b * rpb + r}")
+        .mkString("(", " AND ", ")")
     }.mkString(" OR ")
     val nMatch = (0 until K).map(i =>
       s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"WITH sigs AS ($minhashSelectSql) " +
+    val sigsSql = minhashSelectSql.replace("FROM documents",
+      "FROM documents WHERE doc_id < 2000")
+    s"WITH sigs AS ($sigsSql) " +
       s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($nMatch AS BIGINT) AS n_match " +
       "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (" + bandEq + ")"
   }
