@@ -266,6 +266,13 @@ object Catalog {
         .agg(count(lit(1)).as("n_lines"),
           sum(col("l_quantity")).cast("long").as("sum_qty"))),
 
+    // tumbling event-time window aggregation (batch shape of the
+    // streaming windowed density)
+    "q_tumbling" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
+
     // gap sessionization over the event stream: lag window -> session
     // id by cumulative gap flags -> per-session aggregates
     "q_sessions" -> ((s, dir) => {
@@ -326,6 +333,11 @@ object Catalog {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment, o_orderpriority"),
+
+    "q_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total " +
+        "FROM events GROUP BY 1, 2"),
 
     "q_sessions" ->
       ("WITH flagged AS (SELECT user_id, session_id, event_id FROM (" +

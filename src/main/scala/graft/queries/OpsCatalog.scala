@@ -48,6 +48,22 @@ object OpsCatalog {
         TextDedup.minhashSignatures(
           docs(s, dir).where(col("doc_id") < 2000), K), K, 8)),
 
+    // end-to-end near-dup canonicalization: strict LSH candidates
+    // -> similarity floor (>= 12/16 matching components ~ jaccard 0.75)
+    // -> keeper = smallest near-duplicate partner (1-hop min-id)
+    "q_dedup_near" -> ((s, dir) => {
+      val pairs = TextDedup.lshCandidatePairs(
+        TextDedup.minhashSignatures(
+          docs(s, dir).where(col("doc_id") < 2000), K), K, 8)
+        .where(col("n_match") >= 12)
+      val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("partner"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("partner")))
+      sym.groupBy("doc_id")
+        .agg(least(min(col("partner")), col("doc_id").cast("long")).as("keeper_id"))
+        .select(col("doc_id"), col("keeper_id"),
+          (col("keeper_id") < col("doc_id")).as("is_dup"))
+    }),
+
     "q_simhash" -> ((s, dir) => TextDedup.simhash(docs(s, dir), SimBits)),
 
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -211,9 +227,17 @@ object OpsCatalog {
     s"SELECT doc_id, min(${TextDedup.tokenHashSql("gram")}) AS fingerprint " +
       s"FROM ${gramsSql(5, "")} g GROUP BY doc_id"
 
+  private def dedupNearSql: String =
+    s"WITH p AS ($bandJoinSql), " +
+      "sym AS (SELECT id_a AS doc_id, id_b AS partner FROM p WHERE n_match >= 12 " +
+      "UNION ALL SELECT id_b, id_a FROM p WHERE n_match >= 12) " +
+      "SELECT doc_id, keeper_id, keeper_id < doc_id AS is_dup FROM (" +
+      "SELECT doc_id, LEAST(min(partner), doc_id) AS keeper_id FROM sym GROUP BY doc_id)"
+
   val oracles: Map[String, String] = Map(
     "q_minhash" -> minhashSelectSql,
     "q_lsh_pairs" -> bandJoinSql,
+    "q_dedup_near" -> dedupNearSql,
     "q_simhash" -> simhashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_cosine_topk" -> topkSql(5),
