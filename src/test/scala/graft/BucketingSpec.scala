@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Co-located joins via bucketing — the storage-layout lever for the
+ * repeated doc <-> assignment joins at 100 TB: both sides bucketed on
+ * the join key join WITHOUT a shuffle exchange (SURVEY §0
+ * "Partitioning & shuffle").
+ */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("docs_bucketed")
+    docs.select(col("doc_id"), col("n_chars"))
+      .write.mode("overwrite")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("stats_bucketed")
+
+    val joined = spark.table("docs_bucketed")
+      .join(spark.table("stats_bucketed"), "doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() === docs.count())
+
+    // control: the same join on unbucketed data does shuffle
+    val unbucketed = docs.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
