@@ -88,23 +88,31 @@ object ProblemJoins {
    * not a driver walk.
    */
   def membershipClosure(edges: DataFrame, maxDepth: Int = 15): DataFrame = {
-    val e = edges.select(col("parent_id"), col("child_id")).cache()
-    var closure = e.select(col("parent_id").as("root_id"), col("child_id").as("leaf_id"))
-    var frontier = closure
+    // Each round: frontier ⋈ edges, then anti-join against what is
+    // already known — never exceptAll over the whole closure — and
+    // localCheckpoint the (small) per-round delta so lineage stays
+    // flat across rounds. The closure itself is only materialized as
+    // the union of checkpointed deltas, so no round rewrites it.
+    val e = edges.select(col("parent_id"), col("child_id"))
+      .localCheckpoint(true)
+    val first = e
+      .select(col("parent_id").as("root_id"), col("child_id").as("leaf_id"))
+      .distinct().localCheckpoint(true)
+    val deltas = scala.collection.mutable.ArrayBuffer(first)
+    var frontier = first
     var depth = 1
-    var growing = true
-    while (growing && depth < maxDepth) {
+    while (depth < maxDepth && !frontier.isEmpty) {
       val next = frontier
         .join(e.withColumnRenamed("parent_id", "leaf_id"), "leaf_id")
         .select(col("root_id"), col("child_id").as("leaf_id"))
-      val newPairs = next.exceptAll(closure)
-      if (newPairs.isEmpty) growing = false
-      else {
-        closure = closure.unionByName(newPairs).distinct()
-        frontier = newPairs
-        depth += 1
-      }
+        .distinct()
+      val known = deltas.reduce(_ unionByName _)
+      val newPairs = next
+        .join(known, Seq("root_id", "leaf_id"), "left_anti")
+        .localCheckpoint(true)
+      frontier = newPairs
+      if (!newPairs.isEmpty) { deltas += newPairs; depth += 1 }
     }
-    closure
+    deltas.reduce(_ unionByName _)
   }
 }

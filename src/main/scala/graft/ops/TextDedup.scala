@@ -59,36 +59,68 @@ object TextDedup {
    * Implemented as explode(bands) -> self-equi-join on the band key —
    * the candidate set is found by hash partitioning, so cost scales
    * with bucket sizes, not with the number of document pairs.
-   * Returns (id_a, id_b, n_matching_components of k).
+   *
+   * The full signature struct rides through the band explode, so
+   * n_match is computed inside the band join itself (no signature
+   * re-joins) and the multi-band duplicates collapse in one
+   * aggregation. `maxBucket` guards the quadratic escape hatch: a
+   * band bucket larger than the cap (a cluster of near-identical
+   * docs) is dropped from candidate generation — the analog of the
+   * reference's per-grid-cell candidate-test cap
+   * (`/root/reference/src/uk/me/parabola/splitter/AreaGrid.java:60`
+   * MAX_TESTS). Use `oversizedBandBuckets` to audit what a given cap
+   * would drop. Returns (id_a, id_b, n_matching_components of k).
    */
   def lshCandidatePairs(sigs: DataFrame, k: Int = 16, rowsPerBand: Int = 2,
-                        id: String = "doc_id"): DataFrame = {
+                        id: String = "doc_id",
+                        maxBucket: Int = 100000): DataFrame = {
+    val banded = bandedSignatures(sigs, k, rowsPerBand, id)
+    // the bucket-size aggregation hash-partitions on the same (band,
+    // key) as the candidate join below, so AQE reuses the exchange
+    val pruned =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
+          .where(col("bucket_n") <= maxBucket)
+          .select(col("band"), col("key")),
+        Seq("band", "key"))
+    val a = pruned.select(col(id).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("key"))
+    val b = pruned.select(col(id).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("key"))
+    val matchCount = (0 until k).map(i =>
+      when(col(s"sig_a.mh$i") === col(s"sig_b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), matchCount.cast("long").as("n_match"))
+      // a pair found in several bands has the same n_match everywhere;
+      // max() collapses the duplicates in one hash aggregation
+      .groupBy("id_a", "id_b").agg(max(col("n_match")).as("n_match"))
+  }
+
+  /** (id, sig, band, key) rows: one per (doc, band), carrying the full
+    * signature struct so downstream joins need no signature lookup. */
+  private def bandedSignatures(sigs: DataFrame, k: Int, rowsPerBand: Int,
+                               id: String): DataFrame = {
     val nBands = k / rowsPerBand
+    val sigStruct = struct((0 until k).map(i => col(s"mh$i")): _*).as("sig")
     val bands = explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until rowsPerBand).map(r =>
           col(s"mh${b * rowsPerBand + r}").as(s"k$r")): _*).as("key"))
     }: _*)).as("bk")
-    val withBands = sigs.select((col(id) +: (0 until k).map(i => col(s"mh$i"))): _*)
-      .select(col(id), bands)
-      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = withBands.as("a")
-    val b = withBands.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
-      .distinct()
-    // estimated similarity: matching components / k
-    val sa = sigs.toDF(sigs.columns.map(c => if (c == id) "id_a" else s"a_$c"): _*)
-    val sb = sigs.toDF(sigs.columns.map(c => if (c == id) "id_b" else s"b_$c"): _*)
-    val matchCount = (0 until k).map(i =>
-      when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        matchCount.cast("long").as("n_match"))
+    sigs.select(col(id), sigStruct, bands)
+      .select(col(id), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
+
+  /** Audit helper: band buckets a given cap would drop, with sizes —
+    * run eagerly and log before a production dedup pass. */
+  def oversizedBandBuckets(sigs: DataFrame, k: Int = 16, rowsPerBand: Int = 2,
+                           id: String = "doc_id", maxBucket: Int = 100000): DataFrame =
+    bandedSignatures(sigs, k, rowsPerBand, id)
+      .groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
 
   /**
    * 62-bit SimHash: for each bit b, sum +1/-1 over token hashes'
@@ -113,6 +145,46 @@ object TextDedup {
 
   /** Hamming distance between two SimHash columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Connected components over an undirected pair list (id_a, id_b) by
+   * iterative min-label propagation: label(v) <- min(label(v),
+   * min over neighbors label(n)) until fixpoint. Returns
+   * (id, component_id) for every id that appears in a pair, where
+   * component_id is the smallest id in the component — so a chain
+   * A-B-C canonicalizes every member to A (idempotent keepers, unlike
+   * a 1-hop min-partner rule). Each round is one equi-join + one
+   * aggregation over checkpointed inputs (flat lineage); rounds are
+   * bounded by the longest shortest-path in a component, which for
+   * near-dup clusters (near-cliques) is small.
+   */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var changed = true
+    var round = 0
+    while (changed && round < maxRounds) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .groupBy("id").agg(min(col("label")).as("nbr_label"))
+      val next = labels.withColumnRenamed("label", "old_label")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old_label"),
+            coalesce(col("nbr_label"), col("old_label"))).as("label"),
+          col("old_label"))
+        .localCheckpoint(true)
+      changed = !next.where(col("label") =!= col("old_label")).isEmpty
+      labels = next.select(col("id"), col("label"))
+      round += 1
+    }
+    labels
+  }
 
   /** Distinct character n-gram shingles: (id, gram). */
   def charShingles(docs: DataFrame, n: Int = 3,

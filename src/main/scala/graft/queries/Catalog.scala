@@ -368,8 +368,10 @@ object Catalog {
   private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val textQueries: Map[String, Query] = Map(
+    // hash-first: shuffle a 32-byte digest per doc, never the full
+    // document text (texts are KB-to-MB at production scale)
     "q_dedup_exact" -> ((s, dir) =>
-      docs(s, dir).groupBy(col("text"))
+      docs(s, dir).groupBy(md5(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
         .select(col("keeper_id"), col("n_copies"))),
 
@@ -388,7 +390,7 @@ object Catalog {
   val textOracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       ("SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies " +
-        "FROM documents GROUP BY text"),
+        "FROM documents GROUP BY md5(text)"),
 
     "q_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",

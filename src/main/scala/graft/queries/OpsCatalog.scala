@@ -64,6 +64,20 @@ object OpsCatalog {
           (col("keeper_id") < col("doc_id")).as("is_dup"))
     }),
 
+    // connected-components canonicalization: same candidate pairs as
+    // q_dedup_near, but keeper = smallest id in the whole component
+    // (iterative min-label propagation to fixpoint) — idempotent on
+    // chains A-B-C where the 1-hop rule picks inconsistent keepers
+    "q_dedup_cc" -> ((s, dir) => {
+      val pairs = TextDedup.lshCandidatePairs(
+        TextDedup.minhashSignatures(
+          docs(s, dir).where(col("doc_id") < 2000), K), K, 8)
+        .where(col("n_match") >= 12)
+      TextDedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("label").as("keeper_id"),
+          (col("label") < col("id")).as("is_dup"))
+    }),
+
     "q_simhash" -> ((s, dir) => TextDedup.simhash(docs(s, dir), SimBits)),
 
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -217,15 +231,28 @@ object OpsCatalog {
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
       "GROUP BY doc_id, tok) " +
       "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, " +
-      "sum(len(tok) * n) * 1000000 // sum(n) AS mean_len_ppm, " +
-      s"sum(CASE WHEN tok IN $stop THEN n ELSE 0 END) * 1000000 // sum(n) AS stop_ppm, " +
-      "max(n) * 1000000 // sum(n) AS repeat_ppm " +
+      // CAST each ppm to BIGINT: DuckDB sums BIGINT into HUGEINT, and the
+      // driver's hasher distinguishes int128 from Spark's int64
+      "CAST(sum(len(tok) * n) * 1000000 // sum(n) AS BIGINT) AS mean_len_ppm, " +
+      s"CAST(sum(CASE WHEN tok IN $stop THEN n ELSE 0 END) * 1000000 // sum(n) AS BIGINT) AS stop_ppm, " +
+      "CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS repeat_ppm " +
       "FROM tl GROUP BY doc_id"
   }
 
   private def fingerprintSql: String =
     s"SELECT doc_id, min(${TextDedup.tokenHashSql("gram")}) AS fingerprint " +
       s"FROM ${gramsSql(5, "")} g GROUP BY doc_id"
+
+  // transitive closure via recursive CTE; component keeper = smallest
+  // reachable id (LEAST with self covers isolated-pair minima)
+  private def dedupCcSql: String =
+    s"WITH RECURSIVE p AS ($bandJoinSql), " +
+      "sym AS (SELECT id_a AS a, id_b AS b FROM p WHERE n_match >= 12 " +
+      "UNION ALL SELECT id_b, id_a FROM p WHERE n_match >= 12), " +
+      "reach(a, b) AS (SELECT a, b FROM sym " +
+      "UNION SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a) " +
+      "SELECT a AS doc_id, LEAST(min(b), a) AS keeper_id, " +
+      "LEAST(min(b), a) < a AS is_dup FROM reach GROUP BY a"
 
   private def dedupNearSql: String =
     s"WITH p AS ($bandJoinSql), " +
@@ -238,6 +265,7 @@ object OpsCatalog {
     "q_minhash" -> minhashSelectSql,
     "q_lsh_pairs" -> bandJoinSql,
     "q_dedup_near" -> dedupNearSql,
+    "q_dedup_cc" -> dedupCcSql,
     "q_simhash" -> simhashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_cosine_topk" -> topkSql(5),

@@ -17,12 +17,17 @@ class BucketingSpec extends AnyFunSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // getOrCreate() may hand back a session an earlier suite built, where
+    // builder .config() is silently ignored — set the runtime conf on the
+    // live session and restore it after (forces the SMJ path either way)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     docs.write.mode("overwrite")
       .bucketBy(8, "doc_id").sortBy("doc_id")
@@ -42,5 +47,8 @@ class BucketingSpec extends AnyFunSuite {
     // control: the same join on unbucketed data does shuffle
     val unbucketed = docs.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
     assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 }
