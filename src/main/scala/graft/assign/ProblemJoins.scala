@@ -1,5 +1,6 @@
 package graft.assign
 
+import graft.geo.TileRect
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -78,6 +79,108 @@ object ProblemJoins {
       segmentIntersectsRect(col("x1"), col("y1"), col("x2"), col("y2"),
         col("t_min_lat"), col("t_min_lon"), col("t_max_lat"), col("t_max_lon")))
       .select(col("link_id"), col("map_id")).distinct()
+
+  /**
+   * O6: tile combinations whose union is an exact rectangle ("simple
+   * neighbours"). A link whose member points all landed in tiles and
+   * whose tile set is such a combination lies entirely inside one
+   * convex rectangle, so its segments cannot cross any tile outside
+   * the set — the segment theta-join can be elided for it (reference
+   * `AreaDictionary.findSimpleNeigbours`, AreaDictionary.java:100-136,
+   * consumed via `mayCross` at MultiTileProcessor.java:702-710).
+   *
+   * Returns sets of tile positions (indices into `tiles`), singletons
+   * included; same guards as the reference: merged cardinality <= 10,
+   * stop growing past `maxSets` combinations. Driver-side, O(pairs)
+   * per fixpoint round over a list bounded by maxSets.
+   */
+  def simpleNeighbourSets(tiles: Seq[TileRect], maxCard: Int = 10,
+                          maxSets: Int = 1000): Set[Set[Int]] = {
+    val rects = scala.collection.mutable.ArrayBuffer.empty[(TileRect, Set[Int])]
+    tiles.zipWithIndex.foreach { case (r, i) => rects += (r -> Set(i)) }
+    val known = scala.collection.mutable.Set.empty[Set[Int]]
+    var grew = true
+    while (grew && known.size < maxSets) {
+      grew = false
+      val snap = rects.toVector
+      for {
+        i <- snap.indices
+        j <- i + 1 until snap.size
+      } {
+        val (r1, s1) = snap(i)
+        val (r2, s2) = snap(j)
+        val sideBySide =
+          (r1.minLat == r2.minLat && r1.maxLat == r2.maxLat &&
+            (r1.minLon == r2.maxLon || r2.minLon == r1.maxLon)) ||
+            (r1.minLon == r2.minLon && r1.maxLon == r2.maxLon &&
+              (r1.minLat == r2.maxLat || r2.minLat == r1.maxLat))
+        if (sideBySide && (s1 & s2).isEmpty) {
+          val u = s1 ++ s2
+          if (u.size <= maxCard && known.size < maxSets && !known.contains(u)) {
+            known += u
+            rects += (r1.union(r2) -> u)
+            grew = true
+          }
+        }
+      }
+    }
+    known.toSet ++ tiles.indices.map(Set(_))
+  }
+
+  /**
+   * Keep-complete tile sets per link with the O6 elision: the union of
+   * member-point tiles (J2) and segment-crossed tiles (J5), where the
+   * segment join runs ONLY for links that may actually cross a border
+   * — links fully inside a rectangle-forming tile combination are
+   * anti-joined out of the segment side first.
+   *
+   * `members`: (link_id, doc_id, lat_mu, lon_mu) — one row per member
+   * point. `segments`: (link_id, x1, y1, x2, y2). `tilesDim`:
+   * (map_id, t_min_lat, t_min_lon, t_max_lat, t_max_lon) matching
+   * `tileRects` positionally via `mapIds`.
+   *
+   * Elision is exact under closed-boundary point assignment: a member
+   * point on the combination's outer border is also assigned to the
+   * outside tile, which breaks the rectangle signature and routes the
+   * link through the full segment join.
+   */
+  def keepCompleteTiles(members: DataFrame, segments: DataFrame,
+                        tilesDim: DataFrame, tileRects: Seq[TileRect],
+                        mapIds: Seq[Long]): DataFrame = {
+    val memberTiles = memberTileJoin(members, tilesDim)
+    val elidable = elidableLinks(members, memberTiles, tileRects, mapIds)
+    val crossed = segmentTileJoin(
+      segments.join(broadcast(elidable), Seq("link_id"), "left_anti"), tilesDim)
+    memberTiles.select("link_id", "map_id").unionByName(crossed).distinct()
+  }
+
+  /** J2 point-in-tile containment join, keeping doc_id for the
+    * all-members-matched check. */
+  def memberTileJoin(members: DataFrame, tilesDim: DataFrame): DataFrame =
+    members.join(broadcast(tilesDim),
+        col("lat_mu") >= col("t_min_lat") && col("lat_mu") <= col("t_max_lat") &&
+          col("lon_mu") >= col("t_min_lon") && col("lon_mu") <= col("t_max_lon"))
+      .select(col("link_id"), col("doc_id"), col("map_id"))
+
+  /** Links whose segment join can be elided (O6): every member point
+    * matched at least one tile AND the matched tile set is a
+    * rectangle-forming simple-neighbour combination. */
+  def elidableLinks(members: DataFrame, memberTiles: DataFrame,
+                    tileRects: Seq[TileRect], mapIds: Seq[Long]): DataFrame = {
+    val perLink = memberTiles.groupBy("link_id").agg(
+      count_distinct(col("doc_id")).as("n_matched"),
+      sort_array(collect_set(col("map_id"))).as("tile_set"))
+    val totals = members.groupBy("link_id")
+      .agg(count_distinct(col("doc_id")).as("n_members"))
+    val spark = members.sparkSession
+    val simpleSets = simpleNeighbourSets(tileRects).toSeq
+      .map(s => Tuple1(s.map(mapIds).toSeq.sorted))
+    val simpleDf = spark.createDataFrame(simpleSets).toDF("tile_set")
+    perLink.join(totals, "link_id")
+      .where(col("n_matched") === col("n_members"))
+      .join(broadcast(simpleDf), Seq("tile_set"), "left_semi")
+      .select("link_id")
+  }
 
   /**
    * J8: transitive membership closure. `edges` (parent_id, child_id)

@@ -46,19 +46,20 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
     if (hit.nonEmpty) hit else Array(nearestTile(lat, lon))
   }
 
-  def nearestTile(lat: Int, lon: Int): Int = {
-    var best = 0
-    var bestDist = Long.MaxValue
-    var i = 0
-    while (i < tiles.length) {
-      val t = tiles(i)
-      val dLat = math.max(0, math.max(t.minLat - lat, lat - t.maxLat)).toLong
-      val dLon = math.max(0, math.max(t.minLon - lon, lon - t.maxLon)).toLong
-      val d = dLat * dLat + dLon * dLon
-      if (d < bestDist) { bestDist = d; best = i }
-      i += 1
-    }
-    best
+  /** Nearest tile by expanding-ring search over the top grid: scan
+    * cells ring by ring outward from the probe's cell, tracking the
+    * best exact (squared) rect distance, and stop once the next ring
+    * provably cannot beat it — O(rings * candidates) instead of a
+    * linear scan over all tiles. Semantics identical to the full
+    * scan: smallest squared distance to the non-extended rect, ties
+    * to the lowest id. */
+  def nearestTile(lat: Int, lon: Int): Int = root.nearestByRings(lat, lon)
+
+  private def rectDist2(i: Int, lat: Int, lon: Int): Long = {
+    val t = tiles(i)
+    val dLat = math.max(0, math.max(t.minLat - lat, lat - t.maxLat)).toLong
+    val dLon = math.max(0, math.max(t.minLon - lon, lon - t.maxLon)).toLong
+    dLat * dLat + dLon * dLon
   }
 
   /** Max rectangle tests any probe can need (diagnostics). */
@@ -77,6 +78,9 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
 
     // per cell: candidate ids (null = none), testNeeded bit, optional subgrid
     private val cellCand: Array[Array[Int]] = new Array((dim + 1) * (dim + 1))
+    // all member ids per cell, even when the cell was subdivided —
+    // the ring-based nearest search iterates these
+    private val cellAll: Array[Array[Int]] = new Array((dim + 1) * (dim + 1))
     private val cellTest = new java.util.BitSet((dim + 1) * (dim + 1))
     private var subGrids: Array[Grid] = _
     var maxCompares: Int = 0
@@ -109,6 +113,7 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
       while (k < buf.length) {
         if (buf(k).nonEmpty) {
           val ids = buf(k).toArray.sorted
+          cellAll(k) = ids
           if (cellTest.get(k) && ids.length > MaxTests &&
             divLat > MinCellSize && divLon > MinCellSize && dim == TopDim) {
             val cx = k / (dim + 1)
@@ -126,6 +131,58 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
         }
         k += 1
       }
+    }
+
+    /** Expanding-ring nearest search (see [[TileIndex.nearestTile]]).
+      * Ring r holds the cells at Chebyshev cell-distance r from the
+      * probe's (clamped) cell; any point in a ring-r cell is at least
+      * (r-1) * min(divLat, divLon) map units from the probe, so the
+      * scan stops as soon as that lower bound squared exceeds the
+      * best exact distance found (<=, not <, would break lowest-id
+      * tie-breaking across rings). */
+    def nearestByRings(lat: Int, lon: Int): Int = {
+      val cx0 = math.min(dim, math.max(0, (lon - minLon) / divLon))
+      val cy0 = math.min(dim, math.max(0, (lat - minLat) / divLat))
+      val minDiv = math.min(divLat, divLon).toLong
+      val maxRing = math.max(
+        math.max(cx0, dim - cx0), math.max(cy0, dim - cy0))
+      var best = -1
+      var bestDist = Long.MaxValue
+      var r = 0
+      var done = false
+      while (r <= maxRing && !done) {
+        var cx = math.max(0, cx0 - r)
+        val cxEnd = math.min(dim, cx0 + r)
+        while (cx <= cxEnd) {
+          val onVerticalEdge = cx == cx0 - r || cx == cx0 + r
+          var cy = math.max(0, cy0 - r)
+          val cyEnd = math.min(dim, cy0 + r)
+          while (cy <= cyEnd) {
+            if (onVerticalEdge || cy == cy0 - r || cy == cy0 + r) {
+              val cand = cellAll(cx * (dim + 1) + cy)
+              if (cand != null) {
+                var i = 0
+                while (i < cand.length) {
+                  val d = rectDist2(cand(i), lat, lon)
+                  if (d < bestDist || (d == bestDist && cand(i) < best)) {
+                    bestDist = d
+                    best = cand(i)
+                  }
+                  i += 1
+                }
+              }
+            }
+            cy += 1
+          }
+          cx += 1
+        }
+        if (best >= 0) {
+          val lower = r.toLong * minDiv // lower bound for ring r+1
+          if (lower * lower > bestDist) done = true
+        }
+        r += 1
+      }
+      best
     }
 
     def probe(lat: Int, lon: Int): Array[Int] = {

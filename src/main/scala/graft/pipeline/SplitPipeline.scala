@@ -23,6 +23,10 @@ final case class SplitConfig(
     keepComplete: Boolean = true,
     startMapId: Int = 63240001,
     trim: Boolean = true,
+    /** Replicate the reference's TOP-side trim bound slip for
+      * byte-parity with real splitter areas.list goldens
+      * (`Solution.java:242-243`). */
+    bugCompatTrim: Boolean = false,
     searchLimit: Int = BspSolver.DefaultSearchLimit,
     nearestFallback: Boolean = true,
     numTiles: Option[Int] = None,
@@ -72,6 +76,7 @@ object SplitPipeline {
     val solver = new BspSolver(grid, cfg.searchLimit)
     solver.maxNodes = cfg.maxNodes
     solver.trimShape = cfg.trim
+    solver.bugCompatTrim = cfg.bugCompatTrim
     val rects = cfg.numTiles match {
       case Some(n) => solver.splitIntoTiles(n)
       case None => solver.split()

@@ -92,16 +92,13 @@ object LinkCatalog {
     // keep-complete composition: a link's output tiles are the union
     // of its members' point tiles (J2) and the tiles its segments
     // cross (J5) — the reference's keep-complete duplication
-    // (`MultiTileProcessor.addWritersOfWay:684-731`)
-    "q_keep_complete" -> ((s, dir) => {
-      val memberTiles = members(s, dir)
-        .join(tilesDf(s),
-          col("lat_mu") >= col("t_min_lat") && col("lat_mu") <= col("t_max_lat") &&
-            col("lon_mu") >= col("t_min_lon") && col("lon_mu") <= col("t_max_lon"))
-        .select(col("link_id"), col("map_id"))
-      val crossed = ProblemJoins.segmentTileJoin(segments(s, dir), tilesDf(s))
-      memberTiles.unionByName(crossed).distinct()
-    }),
+    // (`MultiTileProcessor.addWritersOfWay:684-731`), with the O6
+    // simple-neighbour elision: the segment theta-join runs only for
+    // links whose member tiles do NOT form a rectangle
+    "q_keep_complete" -> ((s, dir) =>
+      ProblemJoins.keepCompleteTiles(
+        members(s, dir), segments(s, dir), tilesDf(s), FixedTiles.rects,
+        FixedTiles.rects.indices.map(i => (FixedTiles.StartMapId + i).toLong))),
 
     // J6: tile naming — top-population city inside each tile bbox
     // (reference `AreaList.setAreaNames:272-298`): spatial containment

@@ -84,8 +84,16 @@ final class BspSolution(val maxNodes: Long) {
    * each side, tiles on the current extreme edge are trimmed toward a
    * running bound so inner neighbours never get exposed (reference
    * `Solution.trimOuterTiles:137-258`).
+   *
+   * @param bugCompat replicate the reference's TOP-side slip for
+   *   byte-parity with real splitter goldens: the reference updates
+   *   the TOP running bound under `if (candidate.getMaxX() >
+   *   trimToPos)` where every other side compares the trimmed axis
+   *   (`Solution.java:242-243` — maxX where it means maxY). Off by
+   *   default: the intended semantics (compare maxY) never expose an
+   *   inner neighbour, the quirk can.
    */
-  def trimOuterTiles(): Unit = {
+  def trimOuterTiles(bugCompat: Boolean = false): Unit = {
     if (tileBuf.isEmpty) return
     // mutable boxes; counts are unchanged because only empty rows/cols go
     final class Box(val t: GridTile) {
@@ -149,7 +157,7 @@ final class BspSolution(val maxNodes: Long) {
                   if (cand.y < bound) bound = cand.y
                 case _ =>
                   while (cand.maxY > bound && cand.view.rowSum(cand.h - 1) == 0) cand.h -= 1
-                  if (cand.maxY > bound) bound = cand.maxY
+                  if ((if (bugCompat) cand.maxX else cand.maxY) > bound) bound = cand.maxY
               }
               if (before == ((cand.x, cand.y, cand.w, cand.h))) go = false
               else trimmedAny = true

@@ -32,6 +32,9 @@ final class BspSolver(val grid: DensityGrid,
 
   var maxNodes: Long = 1600000L
   var trimShape: Boolean = false
+  /** Byte-parity mode: replicate the reference's TOP-side trim slip
+    * (`Solution.java:242-243`); see [[BspSolution.trimOuterTiles]]. */
+  var bugCompatTrim: Boolean = false
   var quiet: Boolean = true
   var startMapId: Int = -1
   /** Skip the max-tile-degree-size check (used by num-tiles mode). */
@@ -515,7 +518,7 @@ final class BspSolver(val grid: DensityGrid,
   /** Solution tiles -> aligned map-unit rectangles (reference
     * `getAreas:893-941`). */
   private def toRects(sol: BspSolution): List[TileRect] = {
-    if (trimShape && !solverGrid.hasPolygon) sol.trimOuterTiles()
+    if (trimShape && !solverGrid.hasPolygon) sol.trimOuterTiles(bugCompatTrim)
     val minLat = grid.bounds.minLat
     val minLon = grid.bounds.minLon
     sol.tiles.toList.filter(_.count > 0).map { tile =>

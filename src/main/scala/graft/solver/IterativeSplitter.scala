@@ -98,13 +98,36 @@ final class IterativeSplitter(spark: SparkSession, bounds: TileRect,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
+  /** [[TileIndex]] over tiles in GRID coordinates: the closed integer
+    * rect [x, x+w-1] x [y, y+h-1] is exactly the half-open grid region
+    * of the tile, so with disjoint tiles every cell probes to at most
+    * one position. Probing goes through the codegen'd
+    * [[graft.functions.ProbeTilesExpr]] — a gridded O(1) locator
+    * inline in whole-stage codegen, not an O(#tiles) scan per row. */
+  private def gridIndex(ts: Seq[Tile]) = new graft.index.TileIndex(
+    ts.map(t => TileRect(t.y, t.x, t.y + t.h - 1, t.x + t.w - 1)).toArray,
+    overlap = 0)
+
+  /** Column: position (index into the broadcast tile array) of the
+    * tile owning each cell, null when none. */
+  private def posOf(bc: org.apache.spark.broadcast.Broadcast[graft.index.TileIndex]) =
+    get(graft.functions.ProbeTilesExpr.probeTiles(
+      col("cell_y").cast("int"), col("cell_x").cast("int"),
+      bc, nearestFallback = false), lit(0))
+
   /**
    * Run the iterative split over the distributed cell histogram
    * `(cell_x, cell_y, cnt)`. Resumes from the latest checkpoint in
    * `checkpointDir` when present.
+   *
+   * The histogram is persisted across rounds (it is re-read ~2x per
+   * round plus once for the trim pass — without the persist the
+   * upstream scan/aggregation would recompute every time, the
+   * dominant cost at planet scale).
    */
   def split(cells: DataFrame): Seq[TileRect] = {
-    val total = cells.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val cached = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = cached.agg(sum(col("cnt"))).collect()(0).getLong(0)
     var round = 0
     var tiles: Seq[Tile] = latestRound match {
       case Some(r) =>
@@ -127,31 +150,23 @@ final class IterativeSplitter(spark: SparkSession, bounds: TileRect,
         t.id -> horiz
       }.toMap
 
-      // broadcast locator: tiles are disjoint so a sorted-bucket scan
-      // suffices; oversized counts are small (<= #tiles)
-      val locator = oversized.map(t => (t.id, t.x, t.y, t.w, t.h, axisOf(t.id))).toArray
-      val bc = spark.sparkContext.broadcast(locator)
-      val findTile = udf((cx: Int, cy: Int) => {
-        val arr = bc.value
-        var i = 0
-        var hit = -1
-        var idx = -1
-        while (hit < 0 && i < arr.length) {
-          val (id, x, y, w, h, horiz) = arr(i)
-          if (cx >= x && cx < x + w && cy >= y && cy < y + h) {
-            hit = id
-            idx = if (horiz) cx - x else cy - y
-          }
-          i += 1
-        }
-        if (hit < 0) null else Array(hit, idx)
-      })
+      // broadcast gridded locator probed inside whole-stage codegen;
+      // the per-tile metadata (grid origin + split axis) comes back
+      // via a broadcast hash join on the probed position
+      val bc = spark.sparkContext.broadcast(gridIndex(oversized))
+      val meta = spark.createDataFrame(
+        oversized.zipWithIndex.map { case (t, pos) =>
+          (pos, t.id, t.x, t.y, axisOf(t.id))
+        }).toDF("pos", "tile_id", "tx", "ty", "horiz")
 
       // one shuffle: per-(tile, marginal index) sums
-      val marginals = cells
-        .withColumn("ti", findTile(col("cell_x"), col("cell_y")))
-        .where(col("ti").isNotNull)
-        .groupBy(col("ti")(0).as("tile_id"), col("ti")(1).as("idx"))
+      val marginals = cached
+        .withColumn("pos", posOf(bc))
+        .where(col("pos").isNotNull)
+        .join(broadcast(meta), "pos")
+        .groupBy(col("tile_id"),
+          when(col("horiz"), col("cell_x") - col("tx"))
+            .otherwise(col("cell_y") - col("ty")).cast("int").as("idx"))
         .agg(sum(col("cnt")).as("m"))
         .collect()
         .groupBy(_.getInt(0))
@@ -199,37 +214,28 @@ final class IterativeSplitter(spark: SparkSession, bounds: TileRect,
 
     // final trim: shrink every tile to its occupied cell bbox (one
     // extra aggregation), dropping empty tiles — the distributed
-    // analog of the driver solver's trimOuterTiles
-    val trimLocator = tiles.map(t => (t.id, t.x, t.y, t.w, t.h, true)).toArray
-    val bcT = spark.sparkContext.broadcast(trimLocator)
-    val tileOf = udf((cx: Int, cy: Int) => {
-      val arr = bcT.value
-      var i = 0
-      var hit = -1
-      while (hit < 0 && i < arr.length) {
-        val (id, x, y, w, h, _) = arr(i)
-        if (cx >= x && cx < x + w && cy >= y && cy < y + h) hit = id
-        i += 1
-      }
-      if (hit < 0) null else Int.box(hit)
-    })
-    val occupied = cells
-      .withColumn("tile_id", tileOf(col("cell_x"), col("cell_y")))
-      .where(col("tile_id").isNotNull)
-      .groupBy("tile_id")
+    // analog of the driver solver's trimOuterTiles. The probed
+    // position doubles as the tile key (mapped back positionally on
+    // the driver), so no metadata join is needed here.
+    val bcT = spark.sparkContext.broadcast(gridIndex(tiles))
+    val occupied = cached
+      .withColumn("pos", posOf(bcT))
+      .where(col("pos").isNotNull)
+      .groupBy("pos")
       .agg(min("cell_x").as("x0"), max("cell_x").as("x1"),
         min("cell_y").as("y0"), max("cell_y").as("y1"))
       .collect()
       .map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
       .toMap
-    val out = tiles.flatMap { t =>
-      occupied.get(t.id).map { case (x0, x1, y0, y1) =>
+    val out = tiles.zipWithIndex.flatMap { case (_, pos) =>
+      occupied.get(pos).map { case (x0, x1, y0, y1) =>
         TileRect(
           bounds.minLat + (y0 << shift), bounds.minLon + (x0 << shift),
           bounds.minLat + ((y1 + 1) << shift), bounds.minLon + ((x1 + 1) << shift))
       }
     }
     bcT.destroy()
+    cached.unpersist(false)
     out
   }
 }

@@ -63,6 +63,33 @@ class IndexSpec extends AnyFunSuite {
     check(tiles, 0, probes)
   }
 
+  test("ring-search nearest matches the brute-force scan exactly") {
+    val rnd = new Random(19)
+    for (trial <- 0 until 5) {
+      val tiles = Array.fill(40 + rnd.nextInt(60)) {
+        val lat = rnd.nextInt(4000000) - 2000000
+        val lon = rnd.nextInt(8000000) - 4000000
+        TileRect(lat, lon, lat + 1000 + rnd.nextInt(600000), lon + 1000 + rnd.nextInt(600000))
+      }
+      val idx = new TileIndex(tiles, 0)
+      val union = tiles.reduce(_ union _)
+      // probes inside, on the fringe, and far outside the union bbox
+      val probes = Seq.fill(2000)((
+        union.minLat + rnd.nextInt(union.height + 4000000) - 2000000,
+        union.minLon + rnd.nextInt(union.width + 4000000) - 2000000))
+      probes.foreach { case (lat, lon) =>
+        def d2(i: Int): Long = {
+          val t = tiles(i)
+          val dLat = math.max(0, math.max(t.minLat - lat, lat - t.maxLat)).toLong
+          val dLon = math.max(0, math.max(t.minLon - lon, lon - t.maxLon)).toLong
+          dLat * dLat + dLon * dLon
+        }
+        val want = tiles.indices.minBy(i => (d2(i), i))
+        assert(idx.nearestTile(lat, lon) === want, s"nearest($lat,$lon) trial $trial")
+      }
+    }
+  }
+
   test("nearest fallback is total and picks the closest rect") {
     val tiles = Array(
       TileRect(0, 0, 100000, 100000),

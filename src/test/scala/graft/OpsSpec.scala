@@ -102,6 +102,34 @@ class OpsSpec extends AnyFunSuite {
     assert(assign.size === emb.count())
   }
 
+  test("lsh bucket cap: 10k identical docs complete; oversized buckets reported") {
+    // a pathological near-dup cluster: every doc identical -> every
+    // band bucket holds all 10k docs (quadratic without the cap)
+    val hot = spark.range(10000)
+      .select(col("id").as("doc_id"),
+        lit("the same text repeated again and again").as("text"))
+    val sigs = TextDedup.minhashSignatures(hot, 16)
+    val dropped = TextDedup.oversizedBandBuckets(sigs, 16, 8, maxBucket = 100)
+    assert(dropped.count() > 0, "the hot buckets must be reported")
+    val pairs = TextDedup.lshCandidatePairs(sigs, 16, 8, maxBucket = 100)
+    assert(pairs.count() === 0,
+      "all candidates lived in capped buckets, so none survive")
+  }
+
+  test("connected components: chains canonicalize to the component minimum") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = TextDedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // idempotent: relabeling the keepers changes nothing
+    val again = TextDedup.connectedComponents(
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b"))
+      .where(col("id") =!= col("label")).collect()
+    assert(again.forall(_.getLong(1) == 1L))
+  }
+
   test("multimodal: extraction is deterministic, schema-typed, media-only") {
     val corpus = InterleavedCorpus.fromFlatDocuments(docs)
     val decoded = Multimodal.extract(corpus).cache()

@@ -68,6 +68,28 @@ class SolverSpec extends AnyFunSuite {
     }
   }
 
+  test("bugCompatTrim keeps every split invariant (quirk-parity mode)") {
+    // the reference's TOP-side slip (Solution.java:242-243) only
+    // changes how far top tiles shrink; coverage, disjointness and
+    // counts must all survive with the quirk replicated
+    val pts = TestSurfaces.pointsClustered(20000)
+    val grid = TestSurfaces.gridOf(pts, 12)
+    val s = new BspSolver(grid)
+    s.maxNodes = 2000L
+    s.trimShape = true
+    s.bugCompatTrim = true
+    val tiles = s.split()
+    assert(tiles.nonEmpty)
+    for (i <- tiles.indices; j <- i + 1 until tiles.size)
+      assert(!tiles(i).overlaps(tiles(j)))
+    val lost = pts.filterNot { case (lat, lon) =>
+      tiles.exists(t => lat >= t.minLat && lat < t.maxLat &&
+        lon >= t.minLon && lon < t.maxLon)
+    }
+    assert(lost.isEmpty)
+    assert(tiles.map(countIn(_, pts)).sum === pts.size)
+  }
+
   test("split is deterministic across repeated runs") {
     val pts = TestSurfaces.pointsClustered(20000)
     val t1 = solve(TestSurfaces.gridOf(pts, 12), 2000L)
