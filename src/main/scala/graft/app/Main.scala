@@ -1,0 +1,252 @@
+package graft.app
+
+import graft.assign.{LinkMembership, ProblemJoins, TileAssigner}
+import graft.output.AreaWriters
+import graft.pipeline.{SplitConfig, SplitPipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Command-line surface with the reference's option names, defaults
+ * and validation (`args/SplitterParams.java:21-126`,
+ * `Main.java:264-270,420-460`): `--name=value` pairs plus bare input
+ * paths. Options that configure the engine are honored; options that
+ * only made sense for the single-node OSM-file engine (cache,
+ * max-threads, status-freq, mixed) are accepted and ignored, exactly
+ * like the reference treats its own deprecated flags.
+ */
+final case class SplitterArgs(
+    mapid: Int = 63240001,
+    description: Option[String] = None,
+    maxNodes: Long = 1600000L,
+    numTiles: Option[Int] = None,
+    resolution: Int = 13,
+    overlap: String = "auto",
+    keepComplete: Boolean = true,
+    outputDir: String = ".",
+    splitFile: Option[String] = None,
+    geonamesFile: Option[String] = None,
+    writeKml: Option[String] = None,
+    noTrim: Boolean = false,
+    searchLimit: Int = 200000,
+    stopAfter: String = "dist",
+    problemFile: Option[String] = None,
+    problemReport: Option[String] = None,
+    polygonFile: Option[String] = None,
+    precompSea: Option[String] = None,
+    output: String = "parquet",
+    handleElementVersion: String = "remove",
+    inputs: Seq[String] = Nil) {
+
+  /** Overlap amount after the reference's auto/keep-complete default
+    * handling (`Main.java:432-449`). */
+  def overlapAmount: Int = overlap match {
+    case "auto" => if (keepComplete) 0 else 2000
+    case v => v.toInt
+  }
+
+  def toConfig: SplitConfig = SplitConfig(
+    resolution = resolution,
+    maxNodes = maxNodes,
+    overlap = overlapAmount,
+    keepComplete = keepComplete,
+    startMapId = mapid,
+    trim = !noTrim,
+    searchLimit = searchLimit,
+    numTiles = numTiles)
+}
+
+object SplitterArgs {
+  val ValidStopAfter: Seq[String] =
+    Seq("split", "gen-problem-list", "handle-problem-list", "dist")
+
+  /** Every option name the reference's SplitterParams interface
+    * derives (kebab-case of the getter). */
+  val KnownOptions: Set[String] = Set(
+    "mapid", "description", "max-areas", "overlap", "max-nodes",
+    "num-tiles", "resolution", "mixed", "cache", "output-dir",
+    "split-file", "geonames-file", "write-kml", "status-freq",
+    "no-trim", "max-threads", "output", "problem-file",
+    "keep-complete", "problem-report", "polygon-file",
+    "polygon-desc-file", "stop-after", "precomp-sea", "boundary-tags",
+    "wanted-admin-level", "search-limit", "handle-element-version",
+    "ignore-osm-bounds")
+
+  /** Parse `--name=value` / `--flag` / bare input paths. Returns
+    * Left(message) on the same error classes the reference rejects. */
+  def parse(args: Seq[String]): Either[String, SplitterArgs] = {
+    var a = SplitterArgs()
+    val inputs = Seq.newBuilder[String]
+    try {
+      args.foreach { raw =>
+        if (!raw.startsWith("--")) inputs += raw
+        else {
+          val (name, value) = raw.drop(2).split("=", 2) match {
+            case Array(n, v) => (n, v)
+            case Array(n) => (n, "true") // bare boolean flag
+          }
+          if (!KnownOptions.contains(name))
+            return Left(s"Unknown option '--$name'. Valid options are: " +
+              KnownOptions.toSeq.sorted.mkString(", "))
+          name match {
+            case "mapid" => a = a.copy(mapid = value.toInt)
+            case "description" => a = a.copy(description = Some(value))
+            case "max-nodes" => a = a.copy(maxNodes = value.toLong)
+            case "num-tiles" => a = a.copy(numTiles = Some(value.toInt))
+            case "resolution" => a = a.copy(resolution = value.toInt)
+            case "overlap" => a = a.copy(overlap = value)
+            case "keep-complete" => a = a.copy(keepComplete = value.toBoolean)
+            case "output-dir" => a = a.copy(outputDir = value)
+            case "split-file" => a = a.copy(splitFile = Some(value))
+            case "geonames-file" => a = a.copy(geonamesFile = Some(value))
+            case "write-kml" => a = a.copy(writeKml = Some(value))
+            case "no-trim" => a = a.copy(noTrim = value.toBoolean)
+            case "search-limit" => a = a.copy(searchLimit = value.toInt)
+            case "stop-after" => a = a.copy(stopAfter = value)
+            case "problem-file" => a = a.copy(problemFile = Some(value))
+            case "problem-report" => a = a.copy(problemReport = Some(value))
+            case "polygon-file" => a = a.copy(polygonFile = Some(value))
+            case "precomp-sea" => a = a.copy(precompSea = Some(value))
+            case "output" => a = a.copy(output = value)
+            case "handle-element-version" =>
+              a = a.copy(handleElementVersion = value)
+            case _ => () // accepted-and-ignored legacy option
+          }
+        }
+      }
+    } catch {
+      case e: NumberFormatException => return Left(s"Invalid numeric value: ${e.getMessage}")
+      case e: IllegalArgumentException => return Left(s"Invalid value: ${e.getMessage}")
+    }
+    a = a.copy(inputs = inputs.result())
+    // the reference's plausibility checks (Main.java:408-449)
+    if (!ValidStopAfter.contains(a.stopAfter))
+      return Left("the --stop-after parameter must be one of " +
+        ValidStopAfter.mkString("[", ", ", "]") + ".")
+    if (a.searchLimit < 1000)
+      return Left("The --search-limit parameter must be 1000 or higher.")
+    if (a.resolution < 1 || a.resolution > 24)
+      return Left("The --resolution parameter must be between 1 and 24.")
+    if (a.overlap != "auto" && a.overlap.toInt < 0)
+      return Left("The --overlap parameter must not be negative.")
+    if (!Seq("remove", "fake", "keep").contains(a.handleElementVersion))
+      return Left("The --handle-element-version parameter must be remove, fake, or keep.")
+    if (a.maxNodes < 1)
+      return Left("The --max-nodes parameter must be positive.")
+    Right(a)
+  }
+}
+
+/**
+ * Phase driver mirroring the reference `Main` (split ->
+ * gen-problem-list -> handle-problem-list -> dist), each phase gated
+ * by `--stop-after` and checkpointed to `output-dir` so a rerun
+ * resumes from artifacts (split-file reuse semantics).
+ */
+object Main {
+
+  /** Links derive arithmetically from doc ids (link L owns docs
+    * 5L..5L+4) — the corpus's link model, shared with the catalog. */
+  private def linksOf(points: DataFrame): DataFrame =
+    points.select(expr("doc_id div 5").as("link_id")).distinct()
+      .select(col("link_id"),
+        sequence(col("link_id") * 5, col("link_id") * 5 + 4).as("member_ids"))
+
+  /** Run all phases up to `stopAfter`; returns the last phase run. */
+  def run(spark: SparkSession, a: SplitterArgs): String = {
+    require(a.inputs.nonEmpty, "at least one input parquet path is required")
+    val cfg = a.toConfig
+    val outDir = a.outputDir
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val raw = a.inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // normalize: the interleaved corpus carries string doc ids
+    // ("d%012d"); flat test tables carry numeric ones
+    val docs =
+      if (raw.schema("doc_id").dataType == org.apache.spark.sql.types.StringType)
+        raw.withColumn("doc_id",
+          graft.model.InterleavedCorpus.idOfDocId(col("doc_id")))
+      else raw
+    val points = docs
+      .withColumn("lat_mu", graft.geo.CoordSynthesis.latCol(col("doc_id")))
+      .withColumn("lon_mu", graft.geo.CoordSynthesis.lonCol(col("doc_id")))
+
+    // ---- phase: split (density -> solve -> areas.* artifacts) ------
+    val areas = a.splitFile match {
+      case Some(f) => AreaWriters.readAreasList(f) // split-file reuse
+      case None =>
+        val grid = SplitPipeline.computeGrid(points, cfg)
+        val as = SplitPipeline.solve(grid, cfg)
+        if (a.mapid + as.size > 99999999)
+          throw new IllegalArgumentException(
+            s"Too many areas for initial mapid ${a.mapid}")
+        as
+    }
+    AreaWriters.writeAreasList(s"$outDir/areas.list", areas)
+    AreaWriters.writeTemplateArgs(s"$outDir/template.args", areas, a.output)
+    graft.output.PolyWriters.writePoly(s"$outDir/areas.poly", "areas",
+      areas.map(_.rect))
+    a.writeKml.foreach { kml =>
+      val path = if (new java.io.File(kml).isAbsolute) kml else s"$outDir/$kml"
+      graft.output.PolyWriters.writeKml(path, areas)
+    }
+    if (a.stopAfter == "split") return "split"
+
+    // ---- phase: gen-problem-list (border-crossing links) -----------
+    val index = SplitPipeline.buildIndex(areas, cfg)
+    val assignment = TileAssigner.withTileIds(spark, points,
+      col("lat_mu"), col("lon_mu"), index, cfg.nearestFallback)
+    val linkTiles = LinkMembership.linkTiles(linksOf(points), assignment,
+      salted = true)
+    val problems = LinkMembership.problemLinks(linkTiles)
+      .collect().map(_.getLong(0).toString).toSeq
+    AreaWriters.writeProblemList(
+      a.problemReport.getOrElse(s"$outDir/problem.list"), problems, Nil)
+    if (a.stopAfter == "gen-problem-list") return "gen-problem-list"
+
+    // ---- phase: handle-problem-list (keep-complete duplication) ----
+    if (cfg.keepComplete) {
+      val members = points.withColumn("link_id", expr("doc_id div 5"))
+      val p1 = points.select(col("doc_id").as("id1"),
+        col("lon_mu").as("x1"), col("lat_mu").as("y1"))
+      val p2 = points.select(col("doc_id").as("id2"),
+        col("lon_mu").as("x2"), col("lat_mu").as("y2"))
+      val segments = p1.where(expr("id1 % 5 < 4"))
+        .join(p2, col("id2") === col("id1") + 1)
+        .select(expr("id1 div 5").as("link_id"),
+          col("x1"), col("y1"), col("x2"), col("y2"))
+      val tilesDim = spark.createDataFrame(areas.map(ad =>
+        (ad.mapId.toLong, ad.rect.minLat.toLong, ad.rect.minLon.toLong,
+          ad.rect.maxLat.toLong, ad.rect.maxLon.toLong)))
+        .toDF("map_id", "t_min_lat", "t_min_lon", "t_max_lat", "t_max_lon")
+      ProblemJoins.keepCompleteTiles(members, segments, tilesDim,
+          areas.map(_.rect), areas.map(_.mapId.toLong))
+        .write.mode("overwrite").parquet(s"$outDir/link_tiles.parquet")
+    }
+    if (a.stopAfter == "handle-problem-list") return "handle-problem-list"
+
+    // ---- phase: dist (assignment fan-out, partitioned by tile) -----
+    val assigned = TileAssigner.explodeByTile(assignment, a.mapid)
+    TileAssigner.writePartitioned(assigned, s"$outDir/tiles",
+      a.handleElementVersion)
+    SplitPipeline.recordMetrics(assigned, "dist", outDir)
+    "dist"
+  }
+
+  def main(args: Array[String]): Unit =
+    SplitterArgs.parse(args.toSeq) match {
+      case Left(err) =>
+        System.err.println(err)
+        sys.exit(1)
+      case Right(a) =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        try {
+          val last = run(spark, a)
+          println(s"Completed phase: $last")
+        } finally spark.stop()
+    }
+}
