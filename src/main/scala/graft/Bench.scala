@@ -4,6 +4,9 @@ import graft.model.InterleavedCorpus
 import graft.pipeline.{SplitConfig, SplitPipeline}
 import org.apache.spark.sql.SparkSession
 
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
 /**
  * Benchmark main: times every catalog query on SPARK_GRAFT_SF_DIR and
  * the full tile-split+assignment pipeline on a synthesized interleaved
@@ -12,7 +15,14 @@ import org.apache.spark.sql.SparkSession
  * this sandbox) and reporting throughput at both plus
  * efficiency = (T_N / T_4N) / 4.
  *
- * Prints ONE JSON line: {"metric","value","unit","queries","sf",...}.
+ * Reproducibility protocol: each parallelism level runs in a FRESH
+ * child JVM (same classpath, module opens and heap as this one), so
+ * levels cannot contaminate each other through heap fragmentation,
+ * JIT state, or leftover Spark sessions, and each level reports the
+ * MEDIAN of 3 timed runs after an untimed warmup. The result line is
+ * printed to stdout AND written to bench_result.json in the working
+ * directory, so a harness that wraps stdout in a logger can still
+ * machine-read it.
  */
 object Bench {
   private def session(cpus: Int): SparkSession = {
@@ -27,42 +37,178 @@ object Bench {
     s
   }
 
-  /** End-to-end pipeline on a synthetic corpus.
-    * @return (total sec, distributed sec, solve sec) — the solve is
-    * inherently serial driver work whose cost is independent of
-    * cluster size (constant ~seconds at any scale), so the scaling
-    * protocol is reported both end-to-end and on the distributed
-    * phases (density aggregation + assignment fan-out) that dominate
-    * at 100 TB. */
-  private def pipelineRun(spark: SparkSession, nDocs: Long,
-                          cpus: Int): (Double, Double, Double) = {
-    val docs = InterleavedCorpus.synthesize(spark, nDocs, partitions = cpus * 2)
+  /** End-to-end pipeline timing. `dist` = the distributed phases
+    * (corpus scan + fingerprint + density aggregation, then assignment
+    * fan-out + invariant check) — the solve is inherently serial
+    * driver work whose cost is independent of cluster size (constant
+    * ~seconds at any scale), so the scaling protocol is reported both
+    * end-to-end and on the distributed phases that dominate at
+    * 100 TB. */
+  final case class PipeTiming(total: Double, dist: Double, solve: Double,
+                              density: Double, assign: Double,
+                              calib: Double = 0.0)
+
+  /**
+   * One full pipeline run over a parquet corpus of interleaved
+   * documents (doc_id, spans):
+   *
+   *  1. ONE corpus scan producing the narrow working set — map-unit
+   *     coordinates + the order-sensitive span-sequence fingerprint —
+   *     persisted (at 100 TB this projection is ~1% of corpus width);
+   *     the input fingerprint materializes it;
+   *  2. density aggregation over the cached projection;
+   *  3. driver-side BSP solve;
+   *  4. broadcast-index assignment + fan-out count, plus the OUTPUT
+   *     span fingerprint — required to equal the input one, the
+   *     north-rule per-row span-sequence invariant checked every run.
+   */
+  private def pipelineRun(spark: SparkSession, corpusPath: String,
+                          nDocs: Long): PipeTiming = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(corpusPath)
+    val id = InterleavedCorpus.idOfDocId(col("doc_id"))
     // bounds are config (like the reference's bbox from input headers),
-    // so no extra min/max pass over the corpus
+    // so no extra min/max pass over the corpus; maxNodes scales with
+    // the corpus (fixed tile-count regime) like splitter's defaults
     val cfg = SplitConfig(maxNodes = math.max(nDocs / 25, 100L), trim = true,
       bounds = Some(graft.geo.TileRect(
         graft.geo.CoordSynthesis.LatMin, graft.geo.CoordSynthesis.LonMin,
         graft.geo.CoordSynthesis.LatMax, graft.geo.CoordSynthesis.LonMax)))
     val t0 = System.nanoTime()
-    val points = SplitPipeline.pointsOf(docs)
-    val grid = SplitPipeline.computeGrid(points, cfg)
+    val prepared = docs.select(col("doc_id"),
+        graft.geo.CoordSynthesis.latCol(id).as("lat_mu"),
+        graft.geo.CoordSynthesis.lonCol(id).as("lon_mu"),
+        InterleavedCorpus.spanFingerprint(col("spans"))
+          .bitwiseXOR(xxhash64(col("doc_id"))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inFp = prepared.agg(expr("bit_xor(fp)")).collect()(0).getLong(0)
+    val grid = SplitPipeline.computeGrid(prepared, cfg)
     val t1 = System.nanoTime()
     val areas = SplitPipeline.solve(grid, cfg)
     val t2 = System.nanoTime()
-    SplitPipeline.assign(spark, points, areas, cfg).count()
+    val index = SplitPipeline.buildIndex(areas, cfg)
+    val assigned = graft.assign.TileAssigner.withTileIds(spark, prepared,
+      col("lat_mu"), col("lon_mu"), index, cfg.nearestFallback)
+    val outFp = assigned.agg(expr("bit_xor(fp)")).collect()(0).getLong(0)
+    graft.assign.TileAssigner.explodeByTile(assigned, cfg.startMapId).count()
     val t3 = System.nanoTime()
-    ((t3 - t0) / 1e9, ((t1 - t0) + (t3 - t2)) / 1e9, (t2 - t1) / 1e9)
+    prepared.unpersist(true)
+    require(inFp == outFp,
+      s"span-sequence fingerprint broke through the pipeline: $inFp != $outFp")
+    PipeTiming((t3 - t0) / 1e9, ((t1 - t0) + (t3 - t2)) / 1e9,
+      (t2 - t1) / 1e9, (t1 - t0) / 1e9, (t3 - t2) / 1e9)
+  }
+
+  /** Warmup + median-of-`runs` pipeline timing at one level, inside
+    * the current JVM. Each timed run re-reads the corpus from parquet
+    * (the per-run unpersist drops the projection cache, so no run
+    * can reuse a previous run's work). */
+  private def measureLevel(lvl: Int, docs: Long, corpusPath: String,
+                           warmPath: String, runs: Int): PipeTiming = {
+    val s = session(lvl)
+    try {
+      pipelineRun(s, warmPath, math.max(docs / 10, 1000L)) // untimed JIT warmup
+      val timed = Seq.fill(runs)(pipelineRun(s, corpusPath, docs)).sortBy(_.total)
+      timed(timed.size / 2)
+    } finally s.stop()
+  }
+
+  /**
+   * Median per-thread seconds for a fixed xorshift spin executed by
+   * `n` concurrent threads: this box's per-core throughput at that
+   * active-core count. A single box slows every core down as more
+   * cores activate (turbo + SMT sharing) — measured 1.5-3x on this
+   * machine — which a multi-executor cluster (same core count per
+   * node at N and 4N nodes) does NOT share. The scaling protocol
+   * therefore reports raw efficiency AND efficiency normalized by
+   * this measured hardware curve.
+   */
+  private def cpuCalibration(n: Int, iters: Long = 400000000L): Double = {
+    def once(): Double = {
+      val times = new Array[Double](n)
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          var x = 88172645463325252L ^ i
+          val t0 = System.nanoTime()
+          var k = 0L
+          while (k < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; k += 1 }
+          times(i) = (System.nanoTime() - t0) / 1e9
+          if (x == 42) println("")
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val s = times.sorted
+      s(n / 2)
+    }
+    once() // JIT warmup
+    once()
+  }
+
+  /** Child-JVM entry: one level, prints one CHILD{...} line. */
+  private def childMain(lvl: Int, docs: Long, runs: Int, corpusPath: String,
+                        warmPath: String): Unit = {
+    val calib = cpuCalibration(lvl)
+    val t = measureLevel(lvl, docs, corpusPath, warmPath, runs)
+    println(s"""CHILD{"pipeline_sec":${t.total},"distributed_sec":${t.dist},""" +
+      s""""solve_sec":${t.solve},"density_sec":${t.density},""" +
+      s""""assign_sec":${t.assign},"cpu_calib_sec":$calib}""")
+  }
+
+  /** Run one level in a fresh JVM (same classpath/opens/heap); falls
+    * back to in-process measurement if the spawn fails. */
+  private def runLevelIsolated(lvl: Int, docs: Long, runs: Int,
+                               corpusPath: String,
+                               warmPath: String): PipeTiming = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "--pipeline-child", lvl.toString, docs.toString,
+      runs.toString, corpusPath, warmPath)).asJava
+    try {
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
+      val rc = proc.waitFor()
+      val pat = ("""CHILD\{"pipeline_sec":([-0-9.Ee+]+),"distributed_sec":([-0-9.Ee+]+),""" +
+        """"solve_sec":([-0-9.Ee+]+),"density_sec":([-0-9.Ee+]+),""" +
+        """"assign_sec":([-0-9.Ee+]+),"cpu_calib_sec":([-0-9.Ee+]+)\}""").r
+      out.reverseIterator.collectFirst {
+        case pat(t, d, sv, de, as, ca) =>
+          PipeTiming(t.toDouble, d.toDouble, sv.toDouble, de.toDouble,
+            as.toDouble, ca.toDouble)
+      } match {
+        case Some(r) if rc == 0 => r
+        case _ =>
+          System.err.println(s"bench: child for n$lvl failed (rc=$rc), measuring in-process")
+          measureLevel(lvl, docs, corpusPath, warmPath, runs)
+            .copy(calib = cpuCalibration(lvl))
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"bench: child spawn failed (${e.getMessage}), measuring in-process")
+        measureLevel(lvl, docs, corpusPath, warmPath, runs)
+          .copy(calib = cpuCalibration(lvl))
+    }
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 6 && args(0) == "--pipeline-child") {
+      childMain(args(1).toInt, args(2).toLong, args(3).toInt, args(4), args(5))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "8000000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000000").toLong
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
 
     // --- catalog queries at full parallelism ---
     // one untimed pass first: the initial execution of each generated
     // pipeline measures HotSpot/codegen compilation, not the engine
-    var spark = session(cpus)
+    val spark = session(cpus)
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
@@ -72,47 +218,74 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // --- end-to-end pipeline + N-vs-4N scaling protocol ---
-    // Three parallelism levels (cpus, cpus/4, cpus/16), warmup per
-    // session then best-of-3: first executions of each generated
-    // whole-stage-codegen pipeline measure HotSpot C2, not the engine.
-    // The cpus/4 -> cpus pair on one box saturates memory bandwidth
-    // (a single-machine artifact a real multi-executor cluster does
-    // not share); the cpus/16 -> cpus/4 pair is the representative
-    // N -> 4N measurement.
+    // --- materialize the benchmark corpus once (untimed setup): the
+    // pipeline under measurement READS parquet, like the real job ---
+    val corpusRoot = java.nio.file.Files
+      .createTempDirectory("graft_bench_corpus").toString
+    val corpusPath = s"$corpusRoot/docs"
+    val warmPath = s"$corpusRoot/warm"
+    InterleavedCorpus.synthesize(spark, benchDocs, partitions = cpus * 2)
+      .write.mode("overwrite").parquet(corpusPath)
+    InterleavedCorpus.synthesize(spark, math.max(benchDocs / 10, 1000L),
+        partitions = cpus * 2, offset = 2L * benchDocs)
+      .write.mode("overwrite").parquet(warmPath)
     spark.stop()
-    val levels = Seq(cpus, math.max(cpus / 4, 1), math.max(cpus / 16, 1)).distinct
-    val timed = levels.map { lvl =>
-      val s = session(lvl)
-      pipelineRun(s, benchDocs / 10, lvl) // warmup
-      val best = Seq.fill(3)(pipelineRun(s, benchDocs, lvl)).minBy(_._1)
-      s.stop()
-      lvl -> best
-    }.toMap
-    val (tBig, dBig, solveBig) = timed(cpus)
-    val docsPerSec = benchDocs / tBig
 
-    def eff(n: Int, n4: Int): (Double, Double) = {
-      val (tN, dN, _) = timed(n)
-      val (tN4, dN4, _) = timed(n4)
-      ((tN / tN4) / 4.0, (dN / dN4) / 4.0)
+    // --- end-to-end pipeline + N-vs-4N scaling protocol ---
+    // Three parallelism levels (cpus, cpus/4, cpus/16), each in its
+    // own JVM, warmup + median-of-N per level. The cpus/4 -> cpus
+    // pair on one box saturates memory bandwidth (a single-machine
+    // artifact a real multi-executor cluster does not share); the
+    // cpus/16 -> cpus/4 pair is the representative N -> 4N
+    // measurement.
+    val levels = Seq(cpus, math.max(cpus / 4, 1), math.max(cpus / 16, 1)).distinct
+    val timed = levels.map(lvl =>
+      lvl -> runLevelIsolated(lvl, benchDocs, runs, corpusPath, warmPath)).toMap
+    try new scala.reflect.io.Directory(new java.io.File(corpusRoot))
+      .deleteRecursively()
+    catch { case _: Throwable => () }
+    val big = timed(cpus)
+    val docsPerSec = benchDocs / big.total
+
+    // raw: speedup / core-ratio. hw-normalized: divide the ideal
+    // speedup by the measured per-core slowdown between the two
+    // active-core counts (cpu_calib_sec curve) — the multi-executor
+    // scenario, where N and 4N nodes run the same per-node core count
+    // and therefore the same per-core clock.
+    def eff(n: Int, n4: Int): (Double, Double, Double, Double) = {
+      val scale = n4.toDouble / n
+      val rawE2e = (timed(n).total / timed(n4).total) / scale
+      val rawDist = (timed(n).dist / timed(n4).dist) / scale
+      val hw = // > 1 when cores slow down as more of them activate
+        if (timed(n).calib > 0) timed(n4).calib / timed(n).calib else 1.0
+      (rawE2e, rawDist, rawE2e * hw, rawDist * hw)
     }
-    val (effHighE2e, effHighDist) = eff(levels(1), levels(0))
-    val (effLowE2e, effLowDist) =
-      if (levels.size > 2) eff(levels(2), levels(1)) else (effHighE2e, effHighDist)
+    val (effHighE2e, effHighDist, effHighE2eN, effHighDistN) =
+      eff(levels(1), levels(0))
+    val (effLowE2e, effLowDist, effLowE2eN, effLowDistN) =
+      if (levels.size > 2) eff(levels(2), levels(1))
+      else (effHighE2e, effHighDist, effHighE2eN, effHighDistN)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + tBig
-    val perLevel = timed.toSeq.sortBy(-_._1).map { case (l, (t, d, _)) =>
-      s""""pipeline_sec_n$l":$t,"distributed_sec_n$l":$d"""
+    val total = results.map(_._2).sum + big.total
+    val perLevel = timed.toSeq.sortBy(-_._1).map { case (l, t) =>
+      s""""pipeline_sec_n$l":${t.total},"distributed_sec_n$l":${t.dist},""" +
+        s""""density_sec_n$l":${t.density},"assign_sec_n$l":${t.assign},""" +
+        s""""cpu_calib_sec_n$l":${t.calib}"""
     }.mkString(",")
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""pipeline_docs":$benchDocs,$perLevel,"solve_sec":$solveBig,""" +
+        s""""pipeline_docs":$benchDocs,$perLevel,"solve_sec":${big.solve},""" +
         s""""docs_per_sec":$docsPerSec,""" +
         s""""scaling_efficiency_e2e":$effLowE2e,"scaling_efficiency":$effLowDist,""" +
+        s""""scaling_efficiency_hw_norm_e2e":$effLowE2eN,""" +
+        s""""scaling_efficiency_hw_norm":$effLowDistN,""" +
         s""""scaling_efficiency_at_full_box_e2e":$effHighE2e,""" +
-        s""""scaling_efficiency_at_full_box":$effHighDist}""")
+        s""""scaling_efficiency_at_full_box":$effHighDist,""" +
+        s""""scaling_efficiency_at_full_box_hw_norm":$effHighDistN}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    println(json)
   }
 }

@@ -152,6 +152,14 @@ object Main {
       .select(col("link_id"),
         sequence(col("link_id") * 5, col("link_id") * 5 + 4).as("member_ids"))
 
+  /** Solved areas as a t_-prefixed broadcast dimension. */
+  private def tilesDimOf(spark: SparkSession,
+                         areas: Seq[graft.output.AreaDef]): DataFrame =
+    spark.createDataFrame(areas.map(ad =>
+      (ad.mapId.toLong, ad.rect.minLat.toLong, ad.rect.minLon.toLong,
+        ad.rect.maxLat.toLong, ad.rect.maxLon.toLong)))
+      .toDF("map_id", "t_min_lat", "t_min_lon", "t_max_lat", "t_max_lon")
+
   /** Run all phases up to `stopAfter`; returns the last phase run. */
   def run(spark: SparkSession, a: SplitterArgs): String = {
     require(a.inputs.nonEmpty, "at least one input parquet path is required")
@@ -171,7 +179,7 @@ object Main {
       .withColumn("lon_mu", graft.geo.CoordSynthesis.lonCol(col("doc_id")))
 
     // ---- phase: split (density -> solve -> areas.* artifacts) ------
-    val areas = a.splitFile match {
+    val solved = a.splitFile match {
       case Some(f) => AreaWriters.readAreasList(f) // split-file reuse
       case None =>
         val grid = SplitPipeline.computeGrid(points, cfg)
@@ -180,6 +188,18 @@ object Main {
           throw new IllegalArgumentException(
             s"Too many areas for initial mapid ${a.mapid}")
         as
+    }
+    // J6 naming: top-population geonames city per tile, else the
+    // --description default (reference AreaList.setAreaNames:272-298)
+    val areas = a.geonamesFile match {
+      case Some(gf) =>
+        val cities = graft.sources.GeoNames.loadCities(spark, gf)
+        val names = graft.sources.GeoNames
+          .nameTiles(tilesDimOf(spark, solved), cities)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        solved.map(ad =>
+          ad.copy(name = names.get(ad.mapId.toLong).orElse(a.description)))
+      case None => solved.map(ad => ad.copy(name = ad.name.orElse(a.description)))
     }
     AreaWriters.writeAreasList(s"$outDir/areas.list", areas)
     AreaWriters.writeTemplateArgs(s"$outDir/template.args", areas, a.output)
@@ -214,10 +234,7 @@ object Main {
         .join(p2, col("id2") === col("id1") + 1)
         .select(expr("id1 div 5").as("link_id"),
           col("x1"), col("y1"), col("x2"), col("y2"))
-      val tilesDim = spark.createDataFrame(areas.map(ad =>
-        (ad.mapId.toLong, ad.rect.minLat.toLong, ad.rect.minLon.toLong,
-          ad.rect.maxLat.toLong, ad.rect.maxLon.toLong)))
-        .toDF("map_id", "t_min_lat", "t_min_lon", "t_max_lat", "t_max_lon")
+      val tilesDim = tilesDimOf(spark, areas)
       ProblemJoins.keepCompleteTiles(members, segments, tilesDim,
           areas.map(_.rect), areas.map(_.mapId.toLong))
         .write.mode("overwrite").parquet(s"$outDir/link_tiles.parquet")

@@ -66,9 +66,12 @@ object InterleavedCorpus {
         spansCol(col("_nid"), col("text")).as("spans"))
   }
 
-  /** Fully synthetic corpus of `n` documents (no input table). */
-  def synthesize(spark: SparkSession, n: Long, partitions: Int = 32): DataFrame = {
-    val base = spark.range(0, n, 1, partitions)
+  /** Fully synthetic corpus of `n` documents (no input table);
+    * `offset` shifts the id range (distinct corpora for repeated
+    * benchmark runs so no cached plan can be reused across runs). */
+  def synthesize(spark: SparkSession, n: Long, partitions: Int = 32,
+                 offset: Long = 0): DataFrame = {
+    val base = spark.range(offset, offset + n, 1, partitions)
     val id = col("id")
     // deterministic word soup as the text source
     val text = concat_ws(" ",

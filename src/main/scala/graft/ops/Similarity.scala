@@ -107,14 +107,101 @@ object Similarity {
       .select(col(id), col("centroid_id"))
   }
 
+  /**
+   * Lloyd k-means for IVF centroid training: deterministic init
+   * (first k vectors by id), then `iters` rounds of assign (broadcast
+   * argmax, map-side) + recompute (one groupBy per round averaging
+   * element-wise via per-dimension sums). Distance = dot product on
+   * L2-normalized inputs (spherical k-means, the ANN-standard
+   * variant). Returns (centroid_id, centroid: array<double>).
+   *
+   * Scale shape: the big side is never shuffled by more than one
+   * groupBy(cluster) per round, centroids always ride a broadcast.
+   */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int = 2,
+                      dims: Int = 64, id: String = "vec_id",
+                      vec: String = "embedding"): DataFrame = {
+    val normalized = vectors
+      .select(col(id), col(vec).as("v"), norm(col(vec)).as("nrm"))
+      .select(col(id), transform(col("v"), x => x.cast("double") / col("nrm")).as("nv"))
+    var centroids = normalized.where(col(id) < k)
+      .select(col(id).cast("long").as("centroid_id"), col("nv").as("centroid"))
+    for (_ <- 0 until iters) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("score").desc, col("centroid_id"))
+      val assigned = normalized.crossJoin(broadcast(centroids))
+        .select(col(id), col("nv"), col("centroid_id"),
+          dot(col("nv"), col("centroid")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      // element-wise sum then renormalize (spherical k-means update:
+      // centroid = normalize(sum of members)): k*dims aggregate
+      // cells, map-side combined
+      val sums = (0 until dims).map(d =>
+        sum(element_at(col("nv"), d + 1)).as(s"s$d"))
+      val counted = assigned.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+      centroids = counted
+        .select(col("centroid_id"),
+          array((0 until dims).map(d => col(s"s$d")): _*).as("sv"))
+        .select(col("centroid_id"), col("sv"), norm(col("sv")).as("nrm"))
+        .where(col("nrm") > 0)
+        .select(col("centroid_id"),
+          transform(col("sv"), x => x / col("nrm")).as("centroid"))
+        .localCheckpoint(true) // materialize: next round broadcasts this
+    }
+    centroids
+  }
+
+  /** IVF assignment against trained centroids (broadcast argmax). */
+  def ivfAssignTrained(vectors: DataFrame, centroids: DataFrame,
+                       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score").desc, col("centroid_id"))
+    vectors.crossJoin(broadcast(centroids))
+      .select(col(id), col("centroid_id"),
+        dot(col(vec), col("centroid")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(id), col("centroid_id"))
+  }
+
   /** Exact near-duplicate pairs by cosine threshold within an id range
-    * (embedding-cosine near-dup detection). */
+    * (embedding-cosine near-dup detection). All-pairs — the
+    * verification baseline; the scale path is
+    * [[cosineNearDupPairsBlocked]]. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double, maxId: Long,
                          id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val sub = vectors.where(col(id) < maxId)
     val a = sub.select(col(id).as("id_a"), col(vec).as("va"))
     val b = sub.select(col(id).as("id_b"), col(vec).as("vb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .where(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /**
+   * LSH-blocked embedding near-dup: exact cosine is computed only for
+   * pairs sharing a sign-bucket (equi-join on the bucket id), so the
+   * cost is sum of squared bucket sizes instead of N^2 — the 100 TB
+   * path the all-pairs variant verifies against. High-cosine pairs
+   * land in the same bucket with probability (1 - theta/pi)^nPlanes,
+   * so recall trades against bucket size via `nPlanes` exactly like
+   * the text-side MinHash banding.
+   */
+  def cosineNearDupPairsBlocked(vectors: DataFrame, threshold: Double,
+                                nPlanes: Int = 4, dims: Int = 64,
+                                id: String = "vec_id",
+                                vec: String = "embedding"): DataFrame = {
+    val b = vectors.select(col(id), col(vec),
+      lshBucket(col(vec), nPlanes, dims).as("bucket"))
+    val l = b.select(col("bucket"), col(id).as("id_a"), col(vec).as("va"))
+    val r = b.select(col("bucket"), col(id).as("id_b"), col(vec).as("vb"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
       .where(col("sim") > threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))

@@ -148,15 +148,16 @@ object TextDedup {
 
   /**
    * Connected components over an undirected pair list (id_a, id_b) by
-   * iterative min-label propagation: label(v) <- min(label(v),
-   * min over neighbors label(n)) until fixpoint. Returns
-   * (id, component_id) for every id that appears in a pair, where
-   * component_id is the smallest id in the component — so a chain
-   * A-B-C canonicalizes every member to A (idempotent keepers, unlike
-   * a 1-hop min-partner rule). Each round is one equi-join + one
-   * aggregation over checkpointed inputs (flat lineage); rounds are
-   * bounded by the longest shortest-path in a component, which for
-   * near-dup clusters (near-cliques) is small.
+   * iterative min-label propagation with pointer jumping:
+   * label(v) <- min(label(v), min over neighbors label(n),
+   * label(label(v))) until fixpoint. Returns (id, component_id) for
+   * every id that appears in a pair, where component_id is the
+   * smallest id in the component — so a chain A-B-C canonicalizes
+   * every member to A (idempotent keepers, unlike a 1-hop min-partner
+   * rule). Each round is two equi-joins + one aggregation over
+   * checkpointed inputs (flat lineage); the label-of-label hop doubles
+   * the propagation distance per round, so rounds are
+   * O(log longest-path) instead of O(longest-path).
    */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val sym = pairs
@@ -172,11 +173,18 @@ object TextDedup {
       val nbrMin = sym
         .join(labels.withColumnRenamed("id", "nbr"), "nbr")
         .groupBy("id").agg(min(col("label")).as("nbr_label"))
+      // pointer jump: label(label(v)) — label values are node ids of
+      // the same component, so they always resolve in `labels`
+      val viaLabel = labels
+        .join(labels.toDF("label", "label2"), Seq("label"))
+        .select(col("id"), col("label2"))
       val next = labels.withColumnRenamed("label", "old_label")
         .join(nbrMin, Seq("id"), "left")
+        .join(viaLabel, Seq("id"), "left")
         .select(col("id"),
           least(col("old_label"),
-            coalesce(col("nbr_label"), col("old_label"))).as("label"),
+            coalesce(col("nbr_label"), col("old_label")),
+            coalesce(col("label2"), col("old_label"))).as("label"),
           col("old_label"))
         .localCheckpoint(true)
       changed = !next.where(col("label") =!= col("old_label")).isEmpty

@@ -99,6 +99,12 @@ object OpsCatalog {
     "q_embed_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.5, maxId = 300)),
 
+    // the scale path: exact cosine only within sign-buckets (equi-join
+    // blocking) over the WHOLE table — no crossJoin, no id cap
+    "q_embed_dup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsBlocked(emb(s, dir), threshold = 0.2,
+        nPlanes = 4, dims = 64)),
+
     "q_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -179,8 +185,8 @@ object OpsCatalog {
       "FROM embeddings q, embeddings c " +
       s"WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) WHERE rank <= $k"
 
-  private def bucketSql(v: String): String =
-    (0 until 8).map { p =>
+  private def bucketSql(v: String, nPlanes: Int = 8): String =
+    (0 until nPlanes).map { p =>
       val plane = (0 until 64).map(d =>
         Similarity.planeComponent(p, d, 64).toDouble.toString).mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql(v, s"$plane::DOUBLE[]")} > 0 THEN ${1L << p} ELSE 0 END)"
@@ -210,6 +216,15 @@ object OpsCatalog {
       "FROM embeddings a, embeddings b " +
       "WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id) " +
       "WHERE sim > 0.5"
+
+  private def embedDupLshSql: String =
+    "WITH b AS (SELECT vec_id, embedding, " + bucketSql("embedding", 4) +
+      " AS bucket FROM embeddings) " +
+      "SELECT id_a, id_b, round(sim, 6) AS sim FROM (" +
+      "SELECT a.vec_id AS id_a, b2.vec_id AS id_b, " +
+      cosSql("a.embedding", "b2.embedding") + " AS sim " +
+      "FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) " +
+      "WHERE sim > 0.2"
 
   private def langIdSql: String = {
     val scores = TextAnalysis.LangProfiles.map { case (name, words) =>
@@ -272,6 +287,7 @@ object OpsCatalog {
     "q_ann_lsh" -> annLshSql,
     "q_ivf_assign" -> ivfSql,
     "q_embed_dup" -> embedDupSql,
+    "q_embed_dup_lsh" -> embedDupLshSql,
     "q_langid" -> langIdSql,
     "q_quality_metrics" -> qualitySql,
     "q_fingerprint" -> fingerprintSql)

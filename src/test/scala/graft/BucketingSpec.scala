@@ -27,18 +27,25 @@ class BucketingSpec extends AnyFunSuite {
     // live session and restore it after (forces the SMJ path either way)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // unique table names: the live session may use the DEFAULT
+    // warehouse (builder confs are ignored when getOrCreate returns an
+    // earlier suite's session), where a stale docs_bucketed directory
+    // from a previous JVM makes saveAsTable fail LOCATION_ALREADY_EXISTS
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val docsTbl = s"docs_bucketed_$suffix"
+    val statsTbl = s"stats_bucketed_$suffix"
     try {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     docs.write.mode("overwrite")
       .bucketBy(8, "doc_id").sortBy("doc_id")
-      .saveAsTable("docs_bucketed")
+      .saveAsTable(docsTbl)
     docs.select(col("doc_id"), col("n_chars"))
       .write.mode("overwrite")
       .bucketBy(8, "doc_id").sortBy("doc_id")
-      .saveAsTable("stats_bucketed")
+      .saveAsTable(statsTbl)
 
-    val joined = spark.table("docs_bucketed")
-      .join(spark.table("stats_bucketed"), "doc_id")
+    val joined = spark.table(docsTbl)
+      .join(spark.table(statsTbl), "doc_id")
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"bucketed join must not shuffle:\n$plan")
@@ -49,6 +56,8 @@ class BucketingSpec extends AnyFunSuite {
     assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $docsTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $statsTbl")
     }
   }
 }

@@ -130,6 +130,32 @@ class OpsSpec extends AnyFunSuite {
     assert(again.forall(_.getLong(1) == 1L))
   }
 
+  test("kmeans IVF training: total assignment, monotone objective") {
+    import graft.ops.Similarity
+    val k = 8
+    val trained = Similarity.kmeansCentroids(emb, k, iters = 2).cache()
+    val nC = trained.count()
+    assert(nC > 0 && nC <= k)
+    val assigned = Similarity.ivfAssignTrained(emb, trained)
+    assert(assigned.count() === emb.count(), "assignment must be total")
+    // spherical-kmeans objective (mean best cosine on normalized
+    // vectors) must not degrade vs the init centroids
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      val normalized = emb
+        .select(col("vec_id"), col("embedding").as("v"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .select(col("vec_id"),
+          transform(col("v"), x => x.cast("double") / col("nrm")).as("nv"))
+      normalized.crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(max(Similarity.dot(col("nv"), col("centroid"))).as("best"))
+        .agg(avg("best")).collect()(0).getDouble(0)
+    }
+    val init = Similarity.kmeansCentroids(emb, k, iters = 0)
+    assert(objective(trained) >= objective(init) - 1e-9,
+      "Lloyd rounds must not degrade the quantization objective")
+  }
+
   test("multimodal: extraction is deterministic, schema-typed, media-only") {
     val corpus = InterleavedCorpus.fromFlatDocuments(docs)
     val decoded = Multimodal.extract(corpus).cache()
