@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.StreamingSessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Custom-state streaming (flatMapGroupsWithState + event-time
+ * timeout): gap sessionization must agree with the batch q_sessions
+ * window query once the watermark has passed every gap.
+ */
+class StreamingSessionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("streaming sessions match the batch window computation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/part-0.parquet"))
+    val real = spark.read.parquet(s"$dir/part-0.parquet")
+    val schema = real.select(
+      col("user_id").cast("long"), col("ts").cast("timestamp"),
+      col("event_id").cast("long")).schema
+    val maxTs = real.agg(max(col("ts").cast("timestamp"))).collect()(0)
+      .getTimestamp(0).getTime
+
+    val stream = spark.readStream.schema(real.schema).parquet(dir)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"))
+      .withWatermark("ts", "1 second")
+      .as[StreamingSessions.Event]
+    val q = StreamingSessions.sessionize(stream, gapSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .start()
+    try {
+      q.processAllAvailable()
+      // two synthetic far-future events (distinct users) push the
+      // watermark far past every real gap, so event-time timeouts
+      // flush all real open sessions
+      def flushFile(n: Int, user: Long, tsMillis: Long): Unit =
+        Seq((user, new java.sql.Timestamp(tsMillis), -1L))
+          .toDF("user_id", "ts", "event_id")
+          .select(col("user_id").cast(real.schema("user_id").dataType),
+            col("ts").cast(real.schema("ts").dataType),
+            col("event_id").cast(real.schema("event_id").dataType))
+          .coalesce(1).write.mode("append").parquet(dir)
+      flushFile(1, 900000001L, maxTs + 10L * 3600 * 1000)
+      q.processAllAvailable()
+      flushFile(2, 900000002L, maxTs + 20L * 3600 * 1000)
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "SELECT * FROM sess WHERE user_id < 900000000")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+      // batch oracle: the q_sessions computation on the same events
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val batch = real
+        .select(col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_id").cast("long").as("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 3600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed === batch,
+        s"streamed ${streamed.size} vs batch ${batch.size} sessions")
+    } finally q.stop()
+  }
+}
