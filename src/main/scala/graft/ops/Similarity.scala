@@ -108,6 +108,85 @@ object Similarity {
   }
 
   /**
+   * Multi-probe LSH ANN: like [[lshTopK]], but each QUERY also probes
+   * the `nProbes` neighboring buckets at Hamming distance 1 (one sign
+   * bit flipped) — the standard recall fix for sign-bucket LSH: a
+   * near-neighbor split across a hyperplane lands one bit away. Only
+   * the (small) query side fans out x(1+nProbes); the candidate side
+   * is still a plain equi-join on its single bucket.
+   */
+  def lshTopKMultiProbe(candidates: DataFrame, queries: DataFrame, k: Int,
+                        nPlanes: Int = 8, dims: Int = 64, nProbes: Int = 2,
+                        id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      lshBucket(col(vec), nPlanes, dims).as("bucket"))
+    val probes = explode(array((lit(0L) +: (0 until math.min(nProbes, nPlanes))
+      .map(p => lit(1L << p))): _*)).as("flip")
+    val qb = broadcast(
+      queries.select(col(id).as("query_id"), col(vec).as("qv"),
+          lshBucket(col(vec), nPlanes, dims).as("qbucket"))
+        .select(col("query_id"), col("qv"), col("qbucket"), probes)
+        .select(col("query_id"), col("qv"),
+          col("qbucket").bitwiseXOR(col("flip")).as("bucket")))
+    val scored = qb.join(cb, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      // a candidate can match several probes of one query: dedup first
+      .groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
+   * IVF search: assign every candidate to its inverted list (nearest
+   * of the first-nCentroids quantizer, like [[ivfAssign]]); each query
+   * probes its `nProbe` closest centroids' lists and scores exact
+   * cosine only within them. The candidate side is one broadcast
+   * argmax projection + an equi-join on centroid_id — never a cross
+   * join against the queries.
+   */
+  def ivfSearch(candidates: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 2,
+                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = broadcast(candidates.where(col(id) < nCentroids)
+      .select(col(id).as("centroid_id"), col(vec).as("centv")))
+    // candidate lists: argmax centroid per vector
+    val lists = candidates.crossJoin(centroids)
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"),
+        col("centroid_id"), dot(col(vec), col("centv")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("neighbor_id"))
+          .orderBy(col("score").desc, col("centroid_id"))))
+      .where(col("rn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
+    // query probes: top-nProbe centroids per query
+    val qProbes = broadcast(queries.crossJoin(centroids)
+      .select(col(id).as("query_id"), col(vec).as("qv"),
+        col("centroid_id"), dot(col(vec), col("centv")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("centroid_id"))))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id")))
+    val scored = qProbes.join(lists, "centroid_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
    * Lloyd k-means for IVF centroid training: deterministic init
    * (first k vectors by id), then `iters` rounds of assign (broadcast
    * argmax, map-side) + recompute (one groupBy per round averaging

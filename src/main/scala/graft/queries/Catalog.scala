@@ -379,6 +379,13 @@ object Catalog {
       docs(s, dir).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))),
 
+    // BPE-style pre-tokenization: letter runs and digit runs count as
+    // separate tokens (regex identical in both engines' dialects)
+    "q_token_bpe" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+', 0)"))
+          .cast("long").as("n_tokens"))),
+
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -394,6 +401,10 @@ object Catalog {
 
     "q_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+
+    "q_token_bpe" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) " +
+        "AS n_tokens FROM documents"),
 
     "q_quality" ->
       ("SELECT doc_id, n_tokens, n_stop, n_stop * 1000000 // n_tokens AS stop_ppm FROM (" +

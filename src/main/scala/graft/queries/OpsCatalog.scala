@@ -96,6 +96,22 @@ object OpsCatalog {
 
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(emb(s, dir), 16)),
 
+    // multi-probe LSH: queries also probe the Hamming-1 neighbor
+    // buckets (recall fix for sign-bucket splits)
+    "q_ann_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopKMultiProbe(e, e.where(col("vec_id") < 10), k = 3,
+        nPlanes = 8, dims = 64, nProbes = 2)
+    }),
+
+    // full IVF search: candidates in inverted lists, queries probe
+    // their nProbe nearest lists, exact cosine inside the lists only
+    "q_ivf_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfSearch(e, e.where(col("vec_id") < 10), k = 3,
+        nCentroids = 16, nProbe = 2)
+    }),
+
     "q_embed_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.5, maxId = 300)),
 
@@ -217,6 +233,42 @@ object OpsCatalog {
       "WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id) " +
       "WHERE sim > 0.5"
 
+  private def annMultiProbeSql: String =
+    "WITH b AS (SELECT vec_id, embedding, " + bucketSql("embedding") +
+      " AS bucket FROM embeddings), " +
+      "q AS (SELECT vec_id, embedding, xor(bucket, f) AS bucket " +
+      "FROM b, (VALUES (0), (1), (2)) flips(f) WHERE vec_id < 10), " +
+      "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "max(" + cosSql("q.embedding", "c.embedding") + ") AS sim " +
+      "FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id " +
+      "GROUP BY 1, 2) " +
+      "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (" +
+      "SELECT query_id, neighbor_id, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank " +
+      "FROM scored) WHERE rank <= 3"
+
+  private def ivfSearchSql: String =
+    "WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv " +
+      "FROM embeddings WHERE vec_id < 16), " +
+      "lists AS (SELECT neighbor_id, cv, centroid_id FROM (" +
+      "SELECT v.vec_id AS neighbor_id, v.embedding AS cv, c.centroid_id, " +
+      "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      dotSql("v.embedding", "c.centv") + " DESC, c.centroid_id) AS rn " +
+      "FROM embeddings v, cents c) WHERE rn = 1), " +
+      "probes AS (SELECT query_id, qv, centroid_id FROM (" +
+      "SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      dotSql("q.embedding", "c.centv") + " DESC, c.centroid_id) AS rn " +
+      "FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 2), " +
+      "scored AS (SELECT query_id, neighbor_id, " +
+      "max(" + cosSql("p.qv", "l.cv") + ") AS sim " +
+      "FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id " +
+      "AND l.neighbor_id <> p.query_id GROUP BY 1, 2) " +
+      "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (" +
+      "SELECT query_id, neighbor_id, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank " +
+      "FROM scored) WHERE rank <= 3"
+
   private def embedDupLshSql: String =
     "WITH b AS (SELECT vec_id, embedding, " + bucketSql("embedding", 4) +
       " AS bucket FROM embeddings) " +
@@ -286,6 +338,8 @@ object OpsCatalog {
     "q_cosine_topk" -> topkSql(5),
     "q_ann_lsh" -> annLshSql,
     "q_ivf_assign" -> ivfSql,
+    "q_ann_multiprobe" -> annMultiProbeSql,
+    "q_ivf_search" -> ivfSearchSql,
     "q_embed_dup" -> embedDupSql,
     "q_embed_dup_lsh" -> embedDupLshSql,
     "q_langid" -> langIdSql,
