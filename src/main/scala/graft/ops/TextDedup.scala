@@ -74,7 +74,13 @@ object TextDedup {
   def lshCandidatePairs(sigs: DataFrame, k: Int = 16, rowsPerBand: Int = 2,
                         id: String = "doc_id",
                         maxBucket: Int = 100000): DataFrame = {
+    // the banded frame feeds the bucket-size guard AND both self-join
+    // sides; a lazy local checkpoint materializes the upstream
+    // tokenize+minhash aggregation ONCE instead of three times (the
+    // signatures are tiny next to the text they summarize: k longs
+    // per doc vs the document body)
     val banded = bandedSignatures(sigs, k, rowsPerBand, id)
+      .localCheckpoint(false)
     // the bucket-size aggregation hash-partitions on the same (band,
     // key) as the candidate join below, so AQE reuses the exchange
     val pruned =
