@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-order float64 dot product of two float arrays. */
+  /** Sequential-order float64 dot product of two numeric arrays —
+    * the codegen'd [[graft.functions.DotF64Expr]] (a tight primitive
+    * loop inside whole-stage codegen; bit-identical to the HOF
+    * `aggregate(zip_with(...))` formulation it replaced and to the
+    * DuckDB `list_dot_product(CAST(.. AS DOUBLE[]))` oracle). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotF64Expr.dotF64(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -275,8 +278,11 @@ object Similarity {
                                 nPlanes: Int = 4, dims: Int = 64,
                                 id: String = "vec_id",
                                 vec: String = "embedding"): DataFrame = {
+    // both self-join sides need the bucket projection (nPlanes dot
+    // products per vector) — materialize it once, lazily
     val b = vectors.select(col(id), col(vec),
-      lshBucket(col(vec), nPlanes, dims).as("bucket"))
+        lshBucket(col(vec), nPlanes, dims).as("bucket"))
+      .localCheckpoint(false)
     val l = b.select(col("bucket"), col(id).as("id_a"), col(vec).as("va"))
     val r = b.select(col("bucket"), col(id).as("id_b"), col(vec).as("vb"))
     l.join(r, Seq("bucket"))

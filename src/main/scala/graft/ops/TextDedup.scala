@@ -218,7 +218,9 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, maxId: Long = 100,
                         id: String = "doc_id", text: String = "text"): DataFrame = {
     val sub = docs.where(col(id) < maxId)
-    val grams = charShingles(sub, n, id, text)
+    // grams feed the size aggregation and both join sides — compute
+    // the explode+distinct once (lazy materialization)
+    val grams = charShingles(sub, n, id, text).localCheckpoint(false)
     val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val inter = grams.toDF("id_a", "gram")
       .join(grams.toDF("id_b", "gram"), "gram")

@@ -130,6 +130,39 @@ class OpsSpec extends AnyFunSuite {
     assert(again.forall(_.getLong(1) == 1L))
   }
 
+  test("dot_f64 codegen expression is bit-identical to the HOF formulation") {
+    import graft.functions.DotF64Expr.dotF64
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // float x float over the real embeddings table
+    val pairsSrc = emb.select(col("vec_id"), col("embedding"))
+    val diff = pairsSrc.toDF("ia", "va")
+      .crossJoin(pairsSrc.toDF("ib", "vb"))
+      .where(col("ia") < 20 && col("ib") < 20)
+      .select(dotF64(col("va"), col("vb")).as("fast"),
+        hof(col("va"), col("vb")).as("slow"))
+      .where(col("fast") =!= col("slow") ||
+        col("fast").isNull =!= col("slow").isNull)
+    assert(diff.count() === 0)
+    // float x double (the LSH plane case) and null/mismatch semantics
+    val plane = array((0 until 64).map(d =>
+      lit(graft.ops.Similarity.planeComponent(0, d, 64).toDouble)): _*)
+    val diff2 = emb.where(col("vec_id") < 50)
+      .select(dotF64(col("embedding"), plane).as("fast"),
+        hof(col("embedding"), plane).as("slow"))
+      .where(col("fast") =!= col("slow"))
+    assert(diff2.count() === 0)
+    val edge = spark.sql(
+      "SELECT CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>) AS a, " +
+        "CAST(array(1.0) AS ARRAY<DOUBLE>) AS b, " +
+        "CAST(array(1.0, NULL) AS ARRAY<DOUBLE>) AS c")
+    val e = edge.select(dotF64(col("a"), col("b")).as("mismatch"),
+      dotF64(col("a"), col("c")).as("withNull"),
+      dotF64(col("a"), col("a")).as("ok")).collect()(0)
+    assert(e.isNullAt(0) && e.isNullAt(1) && e.getDouble(2) === 5.0)
+  }
+
   test("kmeans IVF training: total assignment, monotone objective") {
     import graft.ops.Similarity
     val k = 8
