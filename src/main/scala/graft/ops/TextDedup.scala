@@ -152,6 +152,53 @@ object TextDedup {
   /** Hamming distance between two SimHash columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Disjoint covering bit-bands (offset, length) for Hamming-LSH
+    * blocking: `nBands` bands over `bits` bits, remainder spread over
+    * the first bands. With maxHamming < nBands, the pigeonhole
+    * principle guarantees two fingerprints within maxHamming agree on
+    * at least one full band. */
+  def hammingBands(bits: Int, nBands: Int): Seq[(Int, Int)] = {
+    val base = bits / nBands
+    val rem = bits % nBands
+    val lens = (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
+    lens.scanLeft(0)(_ + _).zip(lens)
+  }
+
+  /**
+   * SimHash near-duplicate pairs by Hamming-band blocking: candidates
+   * are pairs agreeing on at least one of `nBands` disjoint bit-bands
+   * of the fingerprint (equi-join on (band, value) after a band
+   * explode — exact recall for hamming <= nBands - 1 by pigeonhole),
+   * verified with the exact popcount distance. Same scale shape as
+   * the MinHash band join: cost follows band-bucket sizes, never the
+   * number of pairs. Returns (id_a, id_b, hamming).
+   */
+  def simhashNearDupPairs(sigs: DataFrame, bits: Int = 62, nBands: Int = 4,
+                          maxHamming: Int = 3,
+                          id: String = "doc_id"): DataFrame = {
+    require(maxHamming < nBands, "blocking is exact only for maxHamming < nBands")
+    val bands = explode(array(hammingBands(bits, nBands).zipWithIndex.map {
+      case ((off, len), b) =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), off)
+            .bitwiseAND(lit((1L << len) - 1)).as("value"))
+    }: _*)).as("bk")
+    val banded = sigs.select(col(id), col("simhash"), bands)
+      .select(col(id), col("simhash"),
+        col("bk.band").as("band"), col("bk.value").as("value"))
+      .localCheckpoint(false) // feeds both self-join sides
+    val a = banded.select(col(id).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("value"))
+    val b = banded.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("value"))
+    a.join(b, Seq("band", "value"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(max(col("hamming")).as("hamming"))
+  }
+
   /**
    * Connected components over an undirected pair list (id_a, id_b) by
    * iterative min-label propagation with pointer jumping:

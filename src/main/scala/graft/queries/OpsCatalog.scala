@@ -80,6 +80,14 @@ object OpsCatalog {
 
     "q_simhash" -> ((s, dir) => TextDedup.simhash(docs(s, dir), SimBits)),
 
+    // Hamming-LSH near-dup: band-blocked candidate join over SimHash
+    // fingerprints, exact popcount verification (recall exact for
+    // hamming <= nBands - 1 by pigeonhole)
+    "q_simhash_dup" -> ((s, dir) =>
+      TextDedup.simhashNearDupPairs(
+        TextDedup.simhash(docs(s, dir).where(col("doc_id") < 2000), SimBits),
+        SimBits, nBands = 4, maxHamming = 3)),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       TextDedup.ngramJaccardPairs(docs(s, dir), n = 3, maxId = 200)),
 
@@ -168,6 +176,21 @@ object OpsCatalog {
       s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
     s"SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM " +
       s"(SELECT doc_id, $sums FROM $tokSql t GROUP BY doc_id)"
+  }
+
+  private def simhashDupSql: String = {
+    val bandEq = TextDedup.hammingBands(SimBits, 4).map { case (off, len) =>
+      s"((a.simhash >> $off) & ${(1L << len) - 1}) = " +
+        s"((b.simhash >> $off) & ${(1L << len) - 1})"
+    }.mkString(" OR ")
+    val bounded = simhashSql.replace("FROM documents",
+      "FROM documents WHERE doc_id < 2000")
+    s"WITH s AS ($bounded) " +
+      "SELECT id_a, id_b, hamming FROM (" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+      s"FROM s a JOIN s b ON a.doc_id < b.doc_id AND ($bandEq)) " +
+      "WHERE hamming <= 3"
   }
 
   // constant-range series + filter: this DuckDB build rejects lateral
@@ -334,6 +357,7 @@ object OpsCatalog {
     "q_dedup_near" -> dedupNearSql,
     "q_dedup_cc" -> dedupCcSql,
     "q_simhash" -> simhashSql,
+    "q_simhash_dup" -> simhashDupSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_cosine_topk" -> topkSql(5),
     "q_ann_lsh" -> annLshSql,
