@@ -92,6 +92,43 @@ class KeepCompleteSpec extends AnyFunSuite {
       s"elision must reduce segment-join input ($nElidable/$nLinks links elidable)")
   }
 
+  test("elision is exact on boundary-heavy random links (property)") {
+    // a 3x3 grid with many points EXACTLY on shared tile edges — the
+    // closed-boundary duplication is what makes the elision exact, so
+    // hammer that case specifically
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val grid = for (r <- 0 until 3; c <- 0 until 3)
+      yield TileRect(r * 1000, c * 1000, (r + 1) * 1000, (c + 1) * 1000)
+    val ids = grid.indices.map(i => 100L + i)
+    val tiles = grid.zipWithIndex.map { case (t, i) =>
+      (100L + i, t.minLat.toLong, t.minLon.toLong, t.maxLat.toLong, t.maxLon.toLong)
+    }.toDF("map_id", "t_min_lat", "t_min_lon", "t_max_lat", "t_max_lon")
+    // 300 links x 4 members; half the coordinates snap to edge multiples
+    val pts = (0 until 1200).map { i =>
+      def coord() = {
+        val v = rnd.nextInt(3001)
+        if (rnd.nextBoolean()) (v / 1000) * 1000 else v // snap half to edges
+      }
+      (i.toLong, coord().toLong, coord().toLong, (i / 4).toLong)
+    }
+    val members = pts.toDF("doc_id", "lat_mu", "lon_mu", "link_id")
+    val segs = pts.sliding(2).toSeq
+      .filter { case Seq(a, b) => a._4 == b._4; case _ => false }
+      .map { case Seq(a, b) => (a._4, a._3, a._2, b._3, b._2) }
+      .toDF("link_id", "x1", "y1", "x2", "y2")
+    val elided = ProblemJoins.keepCompleteTiles(members, segs, tiles, grid, ids)
+    val naive = ProblemJoins.memberTileJoin(members, tiles)
+      .select(col("link_id"), col("map_id"))
+      .unionByName(ProblemJoins.segmentTileJoin(segs, tiles))
+      .distinct()
+    assert(elided.exceptAll(naive).isEmpty && naive.exceptAll(elided).isEmpty,
+      "boundary-heavy elision must be exact")
+    val nElidable = ProblemJoins.elidableLinks(members,
+      ProblemJoins.memberTileJoin(members, tiles), grid, ids).count()
+    assert(nElidable > 0, "the fixture must exercise the elision path")
+  }
+
   test("a link spanning a non-rectangle tile set is not elided") {
     // three tiles in an L: 0 (SW), 1 (S-mid), 3 (NW) — not simple
     val sets = ProblemJoins.simpleNeighbourSets(FixedTiles.rects)
