@@ -32,12 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// Bench only: commit + pre-touch the whole heap up front. Growing the
-// heap under 32 allocating threads triggers a kernel page-fault storm
-// that measured 2x on the n32 pipeline (12.4s pre-touched vs 26.4s
-// growing); pre-touching moves that cost to JVM startup, outside the
-// timed runs. Kept off for tests (adds seconds per forked test JVM).
-run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:+AlwaysPreTouch",
-)
+// Heap pre-touch (-Xms=-Xmx -XX:+AlwaysPreTouch) is applied ONLY to
+// the child JVMs Bench spawns per parallelism level (see
+// Bench.runLevelIsolated): pre-touching there keeps the kernel
+// page-fault storm of a growing heap out of the timed runs (measured
+// 2x on the n32 pipeline), while the parent orchestrator JVM — which
+// only runs untimed setup around the children — grows lazily so
+// parent + child committed memory stays inside the harness envelope.

@@ -127,8 +127,13 @@ object SplitterArgs {
       return Left("The --search-limit parameter must be 1000 or higher.")
     if (a.resolution < 1 || a.resolution > 24)
       return Left("The --resolution parameter must be between 1 and 24.")
-    if (a.overlap != "auto" && a.overlap.toInt < 0)
-      return Left("The --overlap parameter must not be negative.")
+    if (a.overlap != "auto") scala.util.Try(a.overlap.toInt).toOption match {
+      case None =>
+        return Left("The --overlap parameter must be a number or auto.")
+      case Some(v) if v < 0 =>
+        return Left("The --overlap parameter must not be negative.")
+      case _ => ()
+    }
     if (!Seq("remove", "fake", "keep").contains(a.handleElementVersion))
       return Left("The --handle-element-version parameter must be remove, fake, or keep.")
     if (a.maxNodes < 1)

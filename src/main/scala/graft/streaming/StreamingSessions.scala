@@ -41,9 +41,13 @@ object StreamingSessions {
         (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) => {
           if (state.hasTimedOut) {
             // watermark passed lastTs + gap with no new events: the
-            // open session is final
-            val out = state.getOption.map(flush(user, _)).toSeq
-            state.remove()
+            // open session is final. Keep the counter as an n == 0
+            // tombstone (no timeout set, so it persists) — a user who
+            // returns later continues at sessionId + 1 instead of
+            // restarting at 1, preserving the batch query's cumulative
+            // per-user numbering.
+            val out = state.getOption.filter(_.n > 0).map(flush(user, _)).toSeq
+            state.getOption.foreach(st => state.update(st.copy(n = 0)))
             out.iterator
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
@@ -52,13 +56,16 @@ object StreamingSessions {
             sorted.foreach { e =>
               val tsMicros = e.ts.getTime * 1000L
               open = open match {
-                case Some(st) if tsMicros - st.lastTsMicros <= gapMicros =>
+                case Some(st) if st.n > 0 && tsMicros - st.lastTsMicros <= gapMicros =>
                   // first_event is the session MIN event id (batch parity)
                   Some(st.copy(lastTsMicros = math.max(st.lastTsMicros, tsMicros),
                     n = st.n + 1,
                     firstEvent = math.min(st.firstEvent, e.event_id)))
                 case Some(st) =>
-                  closed += flush(user, st)
+                  // open session past its gap, or an n == 0 tombstone
+                  // (a timed-out session is final even for an in-gap
+                  // straggler — the timeout already emitted it)
+                  if (st.n > 0) closed += flush(user, st)
                   Some(OpenSession(st.sessionId + 1, tsMicros, 1L, e.event_id))
                 case None =>
                   Some(OpenSession(1L, tsMicros, 1L, e.event_id))
@@ -66,8 +73,15 @@ object StreamingSessions {
             }
             open.foreach { st =>
               state.update(st)
-              // fire once the watermark proves no in-gap event can arrive
-              state.setTimeoutTimestamp(st.lastTsMicros / 1000L + gapSeconds * 1000L)
+              if (st.n > 0) {
+                // fire once the watermark proves no in-gap event can
+                // arrive; clamp above the current watermark — Spark
+                // rejects a timeout at/behind it, and a late-but-
+                // delivered event can put lastTs + gap there
+                val fireAt = st.lastTsMicros / 1000L + gapSeconds * 1000L
+                state.setTimeoutTimestamp(
+                  math.max(state.getCurrentWatermarkMs() + 1, fireAt))
+              }
             }
             closed.result().iterator
           }

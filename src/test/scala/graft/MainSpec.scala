@@ -45,6 +45,8 @@ class MainSpec extends AnyFunSuite {
       .contains("--resolution"))
     assert(SplitterArgs.parse(Seq("--overlap=-5")).swap.toOption.get
       .contains("--overlap"))
+    assert(SplitterArgs.parse(Seq("--overlap=abc")).swap.toOption.get
+      .contains("--overlap"), "non-numeric overlap must be a clean Left")
     assert(SplitterArgs.parse(Seq("--handle-element-version=maybe")).swap
       .toOption.get.contains("--handle-element-version"))
     assert(SplitterArgs.parse(Seq("--no-such-thing=1")).swap.toOption.get

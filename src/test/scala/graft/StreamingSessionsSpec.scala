@@ -86,4 +86,46 @@ class StreamingSessionsSpec extends AnyFunSuite {
         s"streamed ${streamed.size} vs batch ${batch.size} sessions")
     } finally q.stop()
   }
+
+  test("session numbering continues after an event-time timeout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess2").toString
+    val hour = 3600L * 1000
+    def writeFile(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.map { case (u, ts, e) => (u, new java.sql.Timestamp(ts), e) }
+        .toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch 1: user 1's first session
+    writeFile(Seq((1L, 1000L * hour, 10L), (1L, 1000L * hour + 1, 11L)))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_id LONG").parquet(dir)
+      .withWatermark("ts", "1 second")
+      .as[StreamingSessions.Event]
+    val q = StreamingSessions.sessionize(stream, gapSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("sess2")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: another user pushes the watermark past user 1's gap,
+      // so user 1's open session times out (state becomes a tombstone)
+      writeFile(Seq((2L, 1010L * hour, 20L)))
+      q.processAllAvailable()
+      // batch 3: user 1 returns — must get session_id 2, not 1 again
+      writeFile(Seq((1L, 1020L * hour, 12L)))
+      q.processAllAvailable()
+      // batch 4: flush everything still open
+      writeFile(Seq((3L, 1040L * hour, 30L)))
+      q.processAllAvailable()
+      writeFile(Seq((4L, 1060L * hour, 40L)))
+      q.processAllAvailable()
+
+      val got = spark.sql("SELECT * FROM sess2 WHERE user_id = 1")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === Set((1L, 1L, 2L, 10L), (1L, 2L, 1L, 12L)),
+        s"expected two distinct session ids for user 1, got $got")
+    } finally q.stop()
+  }
 }
