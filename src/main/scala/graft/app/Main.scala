@@ -1,6 +1,6 @@
 package graft.app
 
-import graft.assign.{LinkMembership, ProblemJoins, TileAssigner}
+import graft.assign.{LinkMembership, ProblemJoins, RelevanceFilter, TileAssigner}
 import graft.output.AreaWriters
 import graft.pipeline.{SplitConfig, SplitPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -34,6 +34,8 @@ final case class SplitterArgs(
     problemReport: Option[String] = None,
     polygonFile: Option[String] = None,
     precompSea: Option[String] = None,
+    boundaryTags: Option[String] = None,
+    wantedAdminLevel: Option[Int] = None,
     output: String = "parquet",
     handleElementVersion: String = "remove",
     inputs: Seq[String] = Nil) {
@@ -107,6 +109,9 @@ object SplitterArgs {
             case "problem-report" => a = a.copy(problemReport = Some(value))
             case "polygon-file" => a = a.copy(polygonFile = Some(value))
             case "precomp-sea" => a = a.copy(precompSea = Some(value))
+            case "boundary-tags" => a = a.copy(boundaryTags = Some(value))
+            case "wanted-admin-level" =>
+              a = a.copy(wantedAdminLevel = Some(value.toInt))
             case "output" => a = a.copy(output = value)
             case "handle-element-version" =>
               a = a.copy(handleElementVersion = value)
@@ -187,8 +192,32 @@ object Main {
     val solved = a.splitFile match {
       case Some(f) => AreaWriters.readAreasList(f) // split-file reuse
       case None =>
-        val grid = SplitPipeline.computeGrid(points, cfg)
-        val as = SplitPipeline.solve(grid, cfg)
+        // bounds computed once so sea read + both histograms align
+        val bounds = cfg.bounds.getOrElse(graft.density.DensityJob.bbox(
+          points, col("lat_mu"), col("lon_mu")))
+        val cfgB = cfg.copy(bounds = Some(bounds))
+        // --precomp-sea: coastline points of the covering mixed tiles
+        // merged as the sea background (empty land cells take sea*2,
+        // reference Main.java:252-257 -> DensityMap.mergeSeaData)
+        val grid = a.precompSea match {
+          case Some(seaDir) =>
+            val sea = graft.sources.PrecompSea.readSeaPoints(spark, seaDir, bounds)
+            SplitPipeline.computeGridWithSea(points, sea, cfgB)
+          case None => SplitPipeline.computeGrid(points, cfgB)
+        }
+        // --polygon-file: constrain the solve to the polygon
+        // (reference AreasCalculator.readPolygonFile:105-119 ->
+        // SplittableDensityArea.split(polygon))
+        val as = a.polygonFile match {
+          case Some(pf) =>
+            val poly = graft.solver.PolygonSupport.polygonOf(
+              graft.output.PolyWriters.readPoly(pf))
+            graft.solver.PolygonSupport
+              .split(grid, poly, cfg.maxNodes, cfg.searchLimit)
+              .zipWithIndex
+              .map { case (r, i) => graft.output.AreaDef(cfg.startMapId + i, r) }
+          case None => SplitPipeline.solve(grid, cfg)
+        }
         if (a.mapid + as.size > 99999999)
           throw new IllegalArgumentException(
             s"Too many areas for initial mapid ${a.mapid}")
@@ -217,20 +246,48 @@ object Main {
     if (a.stopAfter == "split") return "split"
 
     // ---- phase: gen-problem-list (border-crossing links) -----------
+    // --problem-file replaces the computation entirely (reference
+    // Main.java:198-213 -> ProblemLists.readProblemIds:129-179);
+    // otherwise links are tag-filtered by the P5 relevance predicate
+    // when --boundary-tags / --wanted-admin-level are given
+    // (ProblemListProcessor.java:201-243) and border-crossers are
+    // detected via the salted membership aggregation.
     val index = SplitPipeline.buildIndex(areas, cfg)
     val assignment = TileAssigner.withTileIds(spark, points,
       col("lat_mu"), col("lon_mu"), index, cfg.nearestFallback)
-    val linkTiles = LinkMembership.linkTiles(linksOf(points), assignment,
-      salted = true)
-    val problems = LinkMembership.problemLinks(linkTiles)
-      .collect().map(_.getLong(0).toString).toSeq
+    val problems: Seq[String] = a.problemFile match {
+      case Some(pf) =>
+        val (ways, rels) = AreaWriters.readProblemList(pf)
+        ways ++ rels
+      case None =>
+        val allLinks = linksOf(points)
+        val considered =
+          if (a.boundaryTags.isEmpty && a.wantedAdminLevel.isEmpty) allLinks
+          else allLinks.where(RelevanceFilter.relevant(
+            RelevanceFilter.relTypeCol(col("link_id")),
+            RelevanceFilter.boundaryCol(col("link_id")),
+            RelevanceFilter.adminLevelCol(col("link_id")),
+            a.boundaryTags.getOrElse(RelevanceFilter.UseExcludeList),
+            a.wantedAdminLevel.getOrElse(RelevanceFilter.DefaultWantedAdminLevel)))
+        val linkTiles = LinkMembership.linkTiles(considered, assignment,
+          salted = true)
+        LinkMembership.problemLinks(linkTiles)
+          .collect().map(_.getLong(0).toString).toSeq
+    }
     AreaWriters.writeProblemList(
       a.problemReport.getOrElse(s"$outDir/problem.list"), problems, Nil)
     if (a.stopAfter == "gen-problem-list") return "gen-problem-list"
 
     // ---- phase: handle-problem-list (keep-complete duplication) ----
+    // only the problem links are handled — file-given or computed —
+    // matching the reference's handle-problem-list scope
+    // (MultiTileProcessor consumes exactly the problem list)
     if (cfg.keepComplete) {
+      import spark.implicits._
+      val problemIds = problems.flatMap(p => scala.util.Try(p.toLong).toOption)
+      val probDf = problemIds.toDF("link_id")
       val members = points.withColumn("link_id", expr("doc_id div 5"))
+        .join(broadcast(probDf), Seq("link_id"), "left_semi")
       val p1 = points.select(col("doc_id").as("id1"),
         col("lon_mu").as("x1"), col("lat_mu").as("y1"))
       val p2 = points.select(col("doc_id").as("id2"),
@@ -239,6 +296,7 @@ object Main {
         .join(p2, col("id2") === col("id1") + 1)
         .select(expr("id1 div 5").as("link_id"),
           col("x1"), col("y1"), col("x2"), col("y2"))
+        .join(broadcast(probDf), Seq("link_id"), "left_semi")
       val tilesDim = tilesDimOf(spark, areas)
       ProblemJoins.keepCompleteTiles(members, segments, tilesDim,
           areas.map(_.rect), areas.map(_.mapId.toLong))

@@ -85,6 +85,40 @@ object DensityJob {
           .otherwise(col("sea_cnt") * factor).as("cnt"))
 
   /**
+   * Collect an already-computed `(cell_x, cell_y, cnt)` histogram
+   * DataFrame into the driver-side [[DensityGrid]] — the terminal
+   * step of merged (land + sea) density pipelines, same packed-array
+   * transfer as [[collectGrid]]. `bounds` must be the grid-aligned
+   * rect the histogram was computed against.
+   */
+  def collectHistogramGrid(hist: DataFrame, bounds: TileRect,
+                           resolution: Int): DensityGrid = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val packed = hist
+      .select(col("cell_x").cast("long"), col("cell_y").cast("long"),
+        col("cnt").cast("long"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val xs = Array.newBuilder[Long]
+        val ys = Array.newBuilder[Long]
+        val cs = Array.newBuilder[Long]
+        it.foreach { case (x, y, c) => xs += x; ys += y; cs += c }
+        Iterator.single((xs.result(), ys.result(), cs.result()))
+      }
+      .collect()
+    val g = new DensityGrid(bounds.roundedTo(resolution), resolution)
+    packed.foreach { case (xs, ys, cs) =>
+      var i = 0
+      while (i < xs.length) {
+        g.addToCell(xs(i).toInt, ys(i).toInt, cs(i).toInt)
+        i += 1
+      }
+    }
+    g
+  }
+
+  /**
    * Collect a histogram into the driver-side [[DensityGrid]].
    *
    * Each result partition packs its (cell_key, cnt) rows into two

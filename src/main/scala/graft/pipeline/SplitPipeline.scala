@@ -72,6 +72,26 @@ object SplitPipeline {
       bounds, cfg.resolution)
   }
 
+  /**
+   * Grid with a precompiled-sea background merged in (the
+   * `--precomp-sea` path): land and sea histograms over the SAME
+   * aligned bounds, reconciled with the reference's empty-land-takes-
+   * sea*2 rule (`DensityMap.mergeSeaData:349-428`) as a full-outer
+   * raster join, then collected. `seaPoints` columns: lat_mu, lon_mu.
+   */
+  def computeGridWithSea(points: DataFrame, seaPoints: DataFrame,
+                         cfg: SplitConfig): DensityGrid = {
+    val bounds = cfg.bounds.getOrElse(
+      DensityJob.bbox(points, col("lat_mu"), col("lon_mu")))
+    val aligned = bounds.roundedTo(cfg.resolution)
+    val land = DensityJob.histogram(points, col("lat_mu"), col("lon_mu"),
+      aligned, cfg.resolution)
+    val sea = DensityJob.histogram(seaPoints, col("lat_mu"), col("lon_mu"),
+      aligned, cfg.resolution)
+    DensityJob.collectHistogramGrid(
+      DensityJob.mergeHistograms(land, sea), aligned, cfg.resolution)
+  }
+
   def solve(grid: DensityGrid, cfg: SplitConfig): Seq[AreaDef] = {
     val solver = new BspSolver(grid, cfg.searchLimit)
     solver.maxNodes = cfg.maxNodes

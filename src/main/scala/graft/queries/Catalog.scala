@@ -151,6 +151,29 @@ object Catalog {
           (element_at(col("tile_ids"), 1) + FixedTiles.StartMapId).cast("long").as("min_tile"),
           (element_at(col("tile_ids"), -1) + FixedTiles.StartMapId).cast("long").as("max_tile"),
           col("is_problem"))
+    }),
+
+    // P5: problem-link detection restricted by the configurable
+    // relation-relevance predicate (boundary-tags exclude list +
+    // wanted-admin-level window, reference
+    // ProblemListProcessor.java:201-243) over the corpus's
+    // deterministic tag model — the predicate pushes into the link
+    // scan before any join
+    "q_problem_links_tagged" -> ((s, dir) => {
+      val p = points(s, dir)
+      val assignment = TileAssigner.withTileIds(s, p, col("lat_mu"), col("lon_mu"),
+        fixedIndex(0), nearestFallback = false)
+      val links = p.select(expr("doc_id div 5").as("link_id")).distinct()
+        .where(graft.assign.RelevanceFilter.relevant(
+          graft.assign.RelevanceFilter.relTypeCol(col("link_id")),
+          graft.assign.RelevanceFilter.boundaryCol(col("link_id")),
+          graft.assign.RelevanceFilter.adminLevelCol(col("link_id"))))
+        .select(col("link_id"),
+          sequence(col("link_id") * 5, col("link_id") * 5 + 4).as("member_ids"))
+      LinkMembership.linkTiles(links, assignment, salted = true)
+        .select(col("link_id"),
+          size(col("tile_ids")).cast("long").as("n_tiles"),
+          col("is_problem"))
     }))
 
   val geoOracles: Map[String, String] = Map(
@@ -218,7 +241,17 @@ object Catalog {
       (s"SELECT doc_id // 5 AS link_id, CAST(count(DISTINCT map_id) AS BIGINT) AS n_tiles, " +
         "min(map_id) AS min_tile, max(map_id) AS max_tile, " +
         "count(DISTINCT map_id) > 1 AS is_problem " +
-        s"FROM (${assignSql(0)}) GROUP BY doc_id // 5"))
+        s"FROM (${assignSql(0)}) GROUP BY doc_id // 5"),
+
+    "q_problem_links_tagged" -> {
+      val rf = graft.assign.RelevanceFilter
+      s"SELECT link_id, CAST(count(DISTINCT map_id) AS BIGINT) AS n_tiles, " +
+        "count(DISTINCT map_id) > 1 AS is_problem " +
+        s"FROM (SELECT doc_id // 5 AS link_id, map_id FROM (${assignSql(0)})) " +
+        s"WHERE ${rf.relevantSql(rf.relTypeSql("link_id"),
+          rf.boundarySql("link_id"), rf.adminLevelSql("link_id"))} " +
+        "GROUP BY link_id"
+    })
 
   // ---- relational operator surface ---------------------------------------
 

@@ -86,6 +86,114 @@ class MainSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/link_tiles.parquet")))
   }
 
+  test("--polygon-file constrains the solve to the polygon") {
+    val out = java.nio.file.Files.createTempDirectory("graft_poly").toString
+    // polygon = west half of the synthesis window
+    val west = graft.geo.TileRect(
+      graft.geo.CoordSynthesis.LatMin, graft.geo.CoordSynthesis.LonMin,
+      graft.geo.CoordSynthesis.LatMax, 0)
+    graft.output.PolyWriters.writePoly(s"$out/west.poly", "west", Seq(west))
+    val a = SplitterArgs.parse(Seq(
+      s"--output-dir=$out", "--stop-after=split", "--max-nodes=200",
+      s"--polygon-file=$out/west.poly",
+      "/root/testdata/sf0.001/documents.parquet")).toOption.get
+    assert(Main.run(spark, a) === "split")
+    val areas = graft.output.AreaWriters.readAreasList(s"$out/areas.list")
+    assert(areas.nonEmpty)
+    // every emitted tile must intersect the polygon: nothing east of 0
+    assert(areas.forall(_.rect.minLon < 0),
+      s"tile entirely outside the polygon: ${areas.filter(_.rect.minLon >= 0)}")
+  }
+
+  test("--precomp-sea merges the sea background into the density grid") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sea").toString
+    val seaDir = java.nio.file.Files.createTempDirectory("graft_seadir").toString
+    val r = graft.sources.PrecompSea.Raster
+    // a coastline band of 4 mixed raster tiles starting at (0,0) —
+    // inside the data bbox so the bounds filter keeps the points,
+    // spread wide enough that no grid cell exceeds max-nodes (an
+    // unsplittable single cell fails the solve) and the BSP can carve
+    // the band cleanly; 3000 pts * seaFactor 2 vs max-nodes 200
+    // forces many extra splits where the corpus alone has none
+    val pts = (0 until 3000).map(i => ((i * 131) % r, (i * 37) % (4 * r)))
+    val entries = (0 until 4).map { t =>
+      val name = s"sea_0_${t * r}.parquet"
+      pts.filter { case (_, lo) => lo / r == t }
+        .toDF("lat_mu", "lon_mu")
+        .coalesce(1).write.parquet(s"$seaDir/$name")
+      s"0_${t * r};$name"
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$seaDir/index.txt"),
+      entries.mkString("", "\n", "\n"))
+    def runWith(extra: Seq[String], dir: String): Seq[graft.output.AreaDef] = {
+      val a = SplitterArgs.parse(Seq(
+        s"--output-dir=$dir", "--stop-after=split", "--max-nodes=200") ++
+        extra :+ "/root/testdata/sf0.001/documents.parquet").toOption.get
+      Main.run(spark, a)
+      graft.output.AreaWriters.readAreasList(s"$dir/areas.list")
+    }
+    val plain = runWith(Nil, out + "/plain")
+    val withSea = runWith(Seq(s"--precomp-sea=$seaDir"), out + "/sea")
+    assert(withSea.size > plain.size,
+      s"sea background (5000 pts * 2 vs max-nodes 200) must force extra " +
+        s"splits: ${plain.size} -> ${withSea.size}")
+  }
+
+  test("--problem-file replaces gen-problem-list and scopes keep-complete") {
+    val out = java.nio.file.Files.createTempDirectory("graft_probf").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    graft.output.AreaWriters.writeProblemList(s"$out/given.list",
+      Seq("7", "11"), Nil)
+    val a = SplitterArgs.parse(Seq(
+      s"--output-dir=$out", "--stop-after=handle-problem-list",
+      "--max-nodes=200", s"--problem-file=$out/given.list",
+      "/root/testdata/sf0.001/documents.parquet")).toOption.get
+    assert(Main.run(spark, a) === "handle-problem-list")
+    // the written problem list echoes the file, not a computation
+    val (ways, _) = graft.output.AreaWriters.readProblemList(s"$out/problem.list")
+    assert(ways === Seq("11", "7"))
+    // keep-complete handled exactly the given links
+    val linkIds = spark.read.parquet(s"$out/link_tiles.parquet")
+      .select("link_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(linkIds.subsetOf(Set(7L, 11L)) && linkIds.nonEmpty,
+      s"link_tiles must cover only the problem-file links, got $linkIds")
+  }
+
+  test("--boundary-tags / --wanted-admin-level filter gen-problem-list") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tags").toString
+    def problemsWith(extra: Seq[String], dir: String): Set[Long] = {
+      val a = SplitterArgs.parse(Seq(
+        s"--output-dir=$dir", "--stop-after=gen-problem-list",
+        "--max-nodes=200") ++ extra :+
+        "/root/testdata/sf0.001/documents.parquet").toOption.get
+      Main.run(spark, a)
+      graft.output.AreaWriters.readProblemList(s"$dir/problem.list")
+        ._1.map(_.toLong).toSet
+    }
+    val unfiltered = problemsWith(Nil, out + "/all")
+    val filtered = problemsWith(
+      Seq("--boundary-tags=census", "--wanted-admin-level=8"), out + "/tagged")
+    assert(filtered.subsetOf(unfiltered))
+    assert(filtered.size < unfiltered.size,
+      s"the tag filter must drop some links: ${unfiltered.size} -> ${filtered.size}")
+    // every surviving link satisfies the predicate (scalar re-check)
+    filtered.foreach { l =>
+      val relType = Seq("multipolygon", "boundary", "restriction",
+        "associatedStreet", "route")((l % 5).toInt)
+      val boundary = if (l % 4 == 0) null
+        else Seq("administrative", "postal_code", "census")((l % 4).toInt - 1)
+      val admin = if (l % 3 == 0) -1L else 2 + l % 10
+      val direct = Seq("restriction", "associatedStreet").contains(relType)
+      val isMp = Seq("multipolygon", "boundary").contains(relType)
+      val wanted = boundary == null || boundary == "census"
+      val adminOk = boundary != null && admin >= 8 && admin <= 11
+      assert(direct || (isMp && wanted) || (isMp && adminOk),
+        s"link $l ($relType, $boundary, $admin) fails the predicate")
+    }
+  }
+
   test("split-file reuse skips the solve and reuses the given areas") {
     val out = java.nio.file.Files.createTempDirectory("graft_main2").toString
     val first = SplitterArgs.parse(Seq(
