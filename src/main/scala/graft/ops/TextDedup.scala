@@ -226,20 +226,30 @@ object TextDedup {
       val nbrMin = sym
         .join(labels.withColumnRenamed("id", "nbr"), "nbr")
         .groupBy("id").agg(min(col("label")).as("nbr_label"))
-      // pointer jump: label(label(v)) — label values are node ids of
-      // the same component, so they always resolve in `labels`
-      val viaLabel = labels
-        .join(labels.toDF("label", "label2"), Seq("label"))
-        .select(col("id"), col("label2"))
-      val next = labels.withColumnRenamed("label", "old_label")
+      val base = labels.withColumnRenamed("label", "old_label")
         .join(nbrMin, Seq("id"), "left")
-        .join(viaLabel, Seq("id"), "left")
-        .select(col("id"),
+      // pointer jump: label(label(v)) — label values are node ids of
+      // the same component, so they always resolve in `labels`. On
+      // round 0 every label == its id, so the jump is the identity —
+      // skipping it saves two full shuffles of the label table
+      val next = (if (round == 0) {
+        base.select(col("id"),
           least(col("old_label"),
-            coalesce(col("nbr_label"), col("old_label")),
-            coalesce(col("label2"), col("old_label"))).as("label"),
+            coalesce(col("nbr_label"), col("old_label"))).as("label"),
           col("old_label"))
-        .localCheckpoint(true)
+      } else {
+        val viaLabel = labels
+          .join(labels.toDF("label", "label2"), Seq("label"))
+          .select(col("id"), col("label2"))
+        base.join(viaLabel, Seq("id"), "left")
+          .select(col("id"),
+            least(col("old_label"),
+              coalesce(col("nbr_label"), col("old_label")),
+              coalesce(col("label2"), col("old_label"))).as("label"),
+            col("old_label"))
+      }).localCheckpoint(true)
+      // the convergence probe runs over the already-checkpointed
+      // partitions — no recomputation, no shuffle
       changed = !next.where(col("label") =!= col("old_label")).isEmpty
       labels = next.select(col("id"), col("label"))
       round += 1

@@ -100,6 +100,19 @@ object LinkCatalog {
         members(s, dir), segments(s, dir), tilesDf(s), FixedTiles.rects,
         FixedTiles.rects.indices.map(i => (FixedTiles.StartMapId + i).toLong))),
 
+    // O6 elision decision itself, oracle-gated: links whose member
+    // points all landed in tiles AND whose tile set is a
+    // rectangle-forming simple-neighbour combination — exactly the
+    // links keepCompleteTiles anti-joins out of the segment theta-join
+    // (reference AreaDictionary.findSimpleNeigbours:100-136 consumed
+    // via mayCross, MultiTileProcessor.java:702-710)
+    "q_elidable" -> ((s, dir) =>
+      ProblemJoins.elidableLinks(
+        members(s, dir),
+        ProblemJoins.memberTileJoin(members(s, dir), tilesDf(s)),
+        FixedTiles.rects,
+        FixedTiles.rects.indices.map(i => (FixedTiles.StartMapId + i).toLong))),
+
     // J6: tile naming — top-population city inside each tile bbox
     // (reference `AreaList.setAreaNames:272-298`): spatial containment
     // join against a broadcast dimension + top-1 window
@@ -179,6 +192,28 @@ object LinkCatalog {
           "WHERE (c1 <= 0 OR c2 <= 0 OR c3 <= 0 OR c4 <= 0) " +
           "AND (c1 >= 0 OR c2 >= 0 OR c3 >= 0 OR c4 >= 0)"
       s"SELECT DISTINCT link_id, map_id FROM (($memberSql) UNION ALL ($crossSql))"
+    },
+
+    "q_elidable" -> {
+      // the simple-neighbour combinations are a driver-side constant
+      // of the fixed tiling; the oracle receives them as literal
+      // sorted map-id strings
+      val mapIds = FixedTiles.rects.indices
+        .map(i => (FixedTiles.StartMapId + i).toLong)
+      val sets = ProblemJoins.simpleNeighbourSets(FixedTiles.rects).toSeq
+        .map(s => s.map(mapIds).toSeq.sorted.mkString("-"))
+        .sorted.map(v => s"'$v'").mkString("(", ", ", ")")
+      s"WITH m AS (SELECT p.doc_id // 5 AS link_id, p.doc_id, t.map_id " +
+        s"FROM $ptsSql p JOIN $tilesSql t ON " +
+        "p.lat_mu BETWEEN t.t_min_lat AND t.t_max_lat AND " +
+        "p.lon_mu BETWEEN t.t_min_lon AND t.t_max_lon), " +
+        "per AS (SELECT link_id, count(DISTINCT doc_id) AS n_matched, " +
+        "array_to_string(list_sort(list(DISTINCT map_id)), '-') AS tset " +
+        "FROM m GROUP BY link_id), " +
+        s"tot AS (SELECT doc_id // 5 AS link_id, " +
+        s"count(DISTINCT doc_id) AS n_members FROM $ptsSql p GROUP BY 1) " +
+        "SELECT per.link_id FROM per JOIN tot ON per.link_id = tot.link_id " +
+        s"WHERE n_matched = n_members AND tset IN $sets"
     },
 
     "q_tile_names" ->

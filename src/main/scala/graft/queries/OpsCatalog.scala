@@ -22,6 +22,18 @@ object OpsCatalog {
   private val SimBits = 62
   private val Stopwords = Seq("the", "and", "of", "a", "in", "to")
 
+  // q_lsh_pairs / q_dedup_near / q_dedup_cc share the same bounded
+  // minhash-signature sub-plan; compute (and lazily materialize) it
+  // once per (session, dir) instead of re-tokenizing three times.
+  // Keyed by session identity so a stopped session's stale
+  // checkpoints can never be reused.
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def boundedSigs(s: SparkSession, dir: String): DataFrame =
+    sigCache.computeIfAbsent((s, dir), _ =>
+      TextDedup.minhashSignatures(
+        docs(s, dir).where(col("doc_id") < 2000), K).localCheckpoint(false))
+
   // distinct (doc_id, token-hash) rows, shared by minhash/simhash oracles
   private val tokSql =
     "(SELECT DISTINCT doc_id, " + TextDedup.tokenHashSql("tok") + " AS h " +
@@ -44,17 +56,13 @@ object OpsCatalog {
     // banding (2 bands of 8 -> near-exact dups) over a bounded id
     // range — the operator itself is parameterized and scale-correct
     "q_lsh_pairs" -> ((s, dir) =>
-      TextDedup.lshCandidatePairs(
-        TextDedup.minhashSignatures(
-          docs(s, dir).where(col("doc_id") < 2000), K), K, 8)),
+      TextDedup.lshCandidatePairs(boundedSigs(s, dir), K, 8)),
 
     // end-to-end near-dup canonicalization: strict LSH candidates
     // -> similarity floor (>= 12/16 matching components ~ jaccard 0.75)
     // -> keeper = smallest near-duplicate partner (1-hop min-id)
     "q_dedup_near" -> ((s, dir) => {
-      val pairs = TextDedup.lshCandidatePairs(
-        TextDedup.minhashSignatures(
-          docs(s, dir).where(col("doc_id") < 2000), K), K, 8)
+      val pairs = TextDedup.lshCandidatePairs(boundedSigs(s, dir), K, 8)
         .where(col("n_match") >= 12)
       val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("partner"))
         .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("partner")))
@@ -69,9 +77,7 @@ object OpsCatalog {
     // (iterative min-label propagation to fixpoint) — idempotent on
     // chains A-B-C where the 1-hop rule picks inconsistent keepers
     "q_dedup_cc" -> ((s, dir) => {
-      val pairs = TextDedup.lshCandidatePairs(
-        TextDedup.minhashSignatures(
-          docs(s, dir).where(col("doc_id") < 2000), K), K, 8)
+      val pairs = TextDedup.lshCandidatePairs(boundedSigs(s, dir), K, 8)
         .where(col("n_match") >= 12)
       TextDedup.connectedComponents(pairs.select("id_a", "id_b"))
         .select(col("id").as("doc_id"), col("label").as("keeper_id"),
