@@ -49,6 +49,9 @@ final class BspSolver(val grid: DensityGrid,
   private var hasEmptyPart = false
   private var countBad = 0L
   private var trimTiles = false
+  /** Cumulative tiles examined by the recursive search across the
+    * whole solve — the effort metric the V9 slicing is judged on. */
+  var testedTiles: Long = 0L
 
   private var knownBad = mutable.HashSet.empty[GridTile]
   private var incomplete = mutable.LinkedHashMap.empty[GridTile, Int]
@@ -100,6 +103,100 @@ final class BspSolver(val grid: DensityGrid,
       throw new SplitFailedException("Failed to find a correct split")
     log(s"Final solution: $fullSolution")
     toRects(fullSolution)
+  }
+
+  /**
+   * V9 vertex-slicing polygon solve (reference
+   * `SplittableDensityArea.findSolutionWithSinglePolygon:517-578`):
+   * slice the rastered rectilinear polygon at its vertices into
+   * rectangular sub-problems BEFORE the BSP — at each polygon vertex
+   * try a full-height cut at the vertex's x, then a full-width cut at
+   * its y, recursing into the polygon-intersected halves until every
+   * piece is an exact rectangle handed to [[solveRectangularArea]].
+   * Concave polygons solve with far fewer terminal tests than the
+   * constrained whole-raster search. Falls back to
+   * [[splitConstrained]] when the rastered area is not singular, is
+   * too complex, or the sliced search finds nothing.
+   */
+  def splitPolygonSliced(polyBits: java.util.BitSet): List[TileRect] = {
+    if (grid.totalCount == 0) return Nil
+    val rastered = BspSolver.bitsToArea(polyBits, grid)
+    if (rastered.isEmpty) return Nil
+    if (!rastered.isSingular) return splitConstrained(Some(polyBits))
+    solverGrid = new SolverGrid(grid, Some(polyBits))
+    trimTiles = true
+    val sol = findSolutionWithSinglePolygon(0, rastered)
+    if (sol == null || sol.isEmpty) {
+      log("vertex-sliced search found nothing, falling back to " +
+        "terminal-predicate search")
+      return splitConstrained(Some(polyBits))
+    }
+    toRects(sol)
+  }
+
+  /** One recursion step of the vertex slicing, in CELL coordinates
+    * (the rastered area's unit = one grid cell). */
+  private def findSolutionWithSinglePolygon(
+      depth: Int, rastered: java.awt.geom.Area): BspSolution = {
+    import java.awt.Rectangle
+    def solveRect(b: Rectangle): BspSolution =
+      solveRectangularArea(GridTile.compute(solverGrid, b.x, b.y, b.width, b.height))
+    if (rastered.isRectangular) return solveRect(rastered.getBounds)
+    val shape = BspSolver.areaToShapes(rastered).head
+    if (shape.size > MaxSinglePolygonVertices) {
+      log(s"Warning: shape is too complex (${shape.size} vertices), " +
+        "using bounding rectangle instead")
+      return solveRect(rastered.getBounds)
+    }
+    val pBounds = rastered.getBounds
+    var lastPoint = shape.size - 1
+    if (shape.head == shape(lastPoint)) lastPoint -= 1
+    var i = 0
+    while (i <= lastPoint) {
+      val point = shape(i)
+      if (i == 0 || point != shape.head) {
+        val cutX = point.x
+        val cutY = point.y
+        var part0: BspSolution = null
+        var part1: BspSolution = null
+        var axis = 0
+        while (axis < 2 && part1 == null) {
+          var r1 =
+            if (axis == 0)
+              new Rectangle(pBounds.x, pBounds.y, cutX - pBounds.x, pBounds.height)
+            else
+              new Rectangle(pBounds.x, pBounds.y, pBounds.width, cutY - pBounds.y)
+          var r2 =
+            if (axis == 0)
+              new Rectangle(cutX, pBounds.y, pBounds.getMaxX.toInt - cutX, pBounds.height)
+            else
+              new Rectangle(pBounds.x, cutY, pBounds.width, pBounds.getMaxY.toInt - cutY)
+          // search the smaller half first (reference :553-557)
+          if (r1.width.toLong * r1.height > r2.width.toLong * r2.height) {
+            val t = r1; r1 = r2; r2 = t
+          }
+          if (!r1.isEmpty && !r2.isEmpty) {
+            val a1 = new java.awt.geom.Area(r1)
+            a1.intersect(rastered)
+            val p0 = findSolutionWithSinglePolygon(depth + 1, a1)
+            if (p0 != null && !p0.isEmpty) {
+              part0 = p0
+              val a2 = new java.awt.geom.Area(r2)
+              a2.intersect(rastered)
+              val p1 = findSolutionWithSinglePolygon(depth + 1, a2)
+              if (p1 != null && !p1.isEmpty) part1 = p1
+            }
+          }
+          axis += 1
+        }
+        if (part1 != null) {
+          part0.merge(part1)
+          return part0
+        }
+      }
+      i += 1
+    }
+    new BspSolution(maxNodes)
   }
 
   /**
@@ -348,6 +445,7 @@ final class BspSolver(val grid: DensityGrid,
    */
   private def findSolution(depth: Int, tile: GridTile, parent: GridTile,
                            smiParent: SplitMeta): BspSolution = {
+    testedTiles += 1
     var addAndReturn = false
     if (tile.count == 0) {
       if (!allowEmptyPart) { hasEmptyPart = true; return null }
@@ -543,4 +641,59 @@ object BspSolver {
   final val LargeMaxNodes = 10000000L
   final val MaxOutsidePolygonRatio = 0.5
   final val DefaultSearchLimit = 200000
+
+  /** Reference `SplittableDensityArea.MAX_SINGLE_POLYGON_VERTICES`. */
+  final val MaxSinglePolygonVertices = 40
+
+  /** Rectilinear awt Area (CELL coordinates, unit = one grid cell)
+    * of a polygon raster bitset (bit x*height+y). Column y-runs are
+    * added as single rectangles so Area unions stay near-linear in
+    * the number of runs, not cells. */
+  private[solver] def bitsToArea(bits: java.util.BitSet,
+                                 grid: DensityGrid): java.awt.geom.Area = {
+    val area = new java.awt.geom.Area()
+    var x = 0
+    while (x < grid.width) {
+      var y = 0
+      while (y < grid.height) {
+        if (bits.get(x * grid.height + y)) {
+          var y2 = y
+          while (y2 < grid.height && bits.get(x * grid.height + y2)) y2 += 1
+          area.add(new java.awt.geom.Area(
+            new java.awt.Rectangle(x, y, 1, y2 - y)))
+          y = y2
+        } else y += 1
+      }
+      x += 1
+    }
+    area
+  }
+
+  /** Vertex rings of a rectilinear awt Area (the analog of the
+    * reference `Utils.areaToShapes`); coordinates are integral by
+    * construction of [[bitsToArea]]. */
+  private[solver] def areaToShapes(
+      area: java.awt.geom.Area): List[Vector[java.awt.Point]] = {
+    import java.awt.geom.PathIterator._
+    val res = List.newBuilder[Vector[java.awt.Point]]
+    val coords = new Array[Double](6)
+    var cur = Vector.empty[java.awt.Point]
+    val it = area.getPathIterator(null)
+    while (!it.isDone) {
+      it.currentSegment(coords) match {
+        case SEG_MOVETO =>
+          if (cur.nonEmpty) res += cur
+          cur = Vector(new java.awt.Point(coords(0).round.toInt, coords(1).round.toInt))
+        case SEG_LINETO =>
+          cur = cur :+ new java.awt.Point(coords(0).round.toInt, coords(1).round.toInt)
+        case SEG_CLOSE =>
+          if (cur.nonEmpty) res += cur
+          cur = Vector.empty
+        case _ => () // rastered rectilinear areas produce no curves
+      }
+      it.next()
+    }
+    if (cur.nonEmpty) res += cur
+    res.result()
+  }
 }

@@ -60,16 +60,22 @@ object PolygonSupport {
 
   /**
    * Solve a polygon-constrained split: tiles cover all data inside
-   * the polygon; tiles mostly outside are never emitted. Returns tile
-   * rects clipped to the polygon bbox where the clip stays
-   * rectangular (reference `getAreas:914-921`).
+   * the polygon; tiles mostly outside are never emitted. By default
+   * the solver first slices the rastered polygon at its vertices into
+   * rectangular sub-problems (V9, reference
+   * `findSolutionWithSinglePolygon:517-578`) and falls back to the
+   * polygon-aware terminal-predicate search when slicing does not
+   * apply. Returns tile rects clipped to the polygon bbox where the
+   * clip stays rectangular (reference `getAreas:914-921`).
    */
   def split(grid: DensityGrid, poly: AwtArea, maxNodes: Long,
-            searchLimit: Int = BspSolver.DefaultSearchLimit): List[TileRect] = {
+            searchLimit: Int = BspSolver.DefaultSearchLimit,
+            vertexSlicing: Boolean = true): List[TileRect] = {
     val bits = rasterToGrid(poly, grid)
     val solver = new BspSolver(grid, searchLimit)
     solver.maxNodes = maxNodes
-    solver.splitConstrained(Some(bits)).map { r =>
+    (if (vertexSlicing) solver.splitPolygonSliced(bits)
+     else solver.splitConstrained(Some(bits))).map { r =>
       // clip each tile back to the polygon where the intersection is
       // still a rectangle (grid-aligned tiles overhang unaligned
       // polygon edges otherwise) — reference `getAreas:914-921`

@@ -107,6 +107,47 @@ class GeomOutputSpec extends AnyFunSuite {
     assert(math.abs(back.head.rect.maxLon - areas.head.rect.maxLon) <= 1)
   }
 
+  test("V9 vertex slicing: same invariants, far fewer tested tiles on a concave polygon") {
+    import graft.solver.BspSolver
+    val pts = TestSurfaces.pointsUniform(20000)
+    val grid = TestSurfaces.gridOf(pts, 12)
+    val b = grid.bounds
+    // concave L: full west half + the south half of the east half
+    val midLon = b.minLon + b.width / 2
+    val midLat = b.minLat + b.height / 2
+    val poly = PolygonSupport.polygonOf(Seq((Seq(
+      (b.minLat, b.minLon), (b.maxLat, b.minLon), (b.maxLat, midLon),
+      (midLat, midLon), (midLat, b.maxLon), (b.minLat, b.maxLon)), true)))
+    def solve(slicing: Boolean): (List[graft.geo.TileRect], Long) = {
+      val bits = PolygonSupport.rasterToGrid(poly, grid)
+      val s = new BspSolver(grid)
+      s.maxNodes = 2000
+      val tiles =
+        if (slicing) s.splitPolygonSliced(bits)
+        else s.splitConstrained(Some(bits))
+      (tiles, s.testedTiles)
+    }
+    val (sliced, nSliced) = solve(slicing = true)
+    val (full, nFull) = solve(slicing = false)
+    for (tiles <- Seq(sliced, full)) {
+      assert(tiles.nonEmpty)
+      tiles.foreach { t =>
+        assert(poly.intersects(t.minLon, t.minLat, t.width, t.height),
+          s"tile $t entirely outside polygon")
+      }
+      for (i <- tiles.indices; j <- i + 1 until tiles.size)
+        assert(!tiles(i).overlaps(tiles(j)))
+      val lost = pts.filter { case (lat, lon) => poly.contains(lon, lat) }
+        .filterNot { case (lat, lon) =>
+          tiles.exists(t => lat >= t.minLat && lat < t.maxLat &&
+            lon >= t.minLon && lon < t.maxLon)
+        }
+      assert(lost.isEmpty, s"${lost.size} in-polygon points uncovered")
+    }
+    assert(nSliced * 2 <= nFull,
+      s"vertex slicing must cut the search effort: sliced=$nSliced full=$nFull")
+  }
+
   test("polygon-constrained split keeps tiles near the polygon") {
     val pts = TestSurfaces.pointsUniform(20000)
     val grid = TestSurfaces.gridOf(pts, 12)
