@@ -120,14 +120,18 @@ object Bench {
   }
 
   /** Warmup + median-of-`runs` pipeline timing at one level, inside
-    * the current JVM. Each timed run re-reads the corpus from parquet
-    * (the per-run unpersist drops the projection cache, so no run
-    * can reuse a previous run's work). */
+    * the current JVM. The untimed warmup runs over the FULL corpus:
+    * it warms both HotSpot/codegen AND the page cache, so the timed
+    * runs measure the engine, not cold parquet I/O racing the
+    * writeback of the just-written corpus (with runs=1 there is no
+    * second run to absorb that). Each timed run re-reads the corpus
+    * from parquet (the per-run unpersist drops the projection cache,
+    * so no run can reuse a previous run's work). */
   private def measureLevel(lvl: Int, docs: Long, corpusPath: String,
-                           warmPath: String, runs: Int): PipeTiming = {
+                           runs: Int): PipeTiming = {
     val s = session(lvl)
     try {
-      pipelineRun(s, warmPath, math.max(docs / 10, 1000L)) // untimed JIT warmup
+      pipelineRun(s, corpusPath, docs) // untimed JIT + page-cache warmup
       val timed = Seq.fill(runs)(pipelineRun(s, corpusPath, docs)).sortBy(_.total)
       timed(timed.size / 2)
     } finally s.stop()
@@ -166,10 +170,10 @@ object Bench {
   }
 
   /** Child-JVM entry: one level, prints one CHILD{...} line. */
-  private def childMain(lvl: Int, docs: Long, runs: Int, corpusPath: String,
-                        warmPath: String): Unit = {
+  private def childMain(lvl: Int, docs: Long, runs: Int,
+                        corpusPath: String): Unit = {
     val calib = cpuCalibration(lvl)
-    val t = measureLevel(lvl, docs, corpusPath, warmPath, runs)
+    val t = measureLevel(lvl, docs, corpusPath, runs)
     println(s"""CHILD{"pipeline_sec":${t.total},"distributed_sec":${t.dist},""" +
       s""""solve_sec":${t.solve},"density_sec":${t.density},""" +
       s""""assign_sec":${t.assign},"cpu_calib_sec":$calib}""")
@@ -183,10 +187,9 @@ object Bench {
     * inside the harness's envelope. Falls back to in-process
     * measurement if the spawn fails. */
   private def runLevelIsolated(lvl: Int, docs: Long, runs: Int,
-                               corpusPath: String,
-                               warmPath: String): PipeTiming = {
+                               corpusPath: String): PipeTiming = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "4g")
+    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "6g")
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
         a.startsWith("-Xmx") || a.startsWith("-Xms") ||
@@ -195,7 +198,7 @@ object Bench {
       s"-Xmx$childMem", s"-Xms$childMem", "-XX:+AlwaysPreTouch",
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "--pipeline-child", lvl.toString, docs.toString,
-      runs.toString, corpusPath, warmPath)).asJava
+      runs.toString, corpusPath)).asJava
     try {
       val pb = new ProcessBuilder(cmd)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -213,20 +216,20 @@ object Bench {
         case Some(r) if rc == 0 => r
         case _ =>
           System.err.println(s"bench: child for n$lvl failed (rc=$rc), measuring in-process")
-          measureLevel(lvl, docs, corpusPath, warmPath, runs)
+          measureLevel(lvl, docs, corpusPath, runs)
             .copy(calib = cpuCalibration(lvl))
       }
     } catch {
       case e: Exception =>
         System.err.println(s"bench: child spawn failed (${e.getMessage}), measuring in-process")
-        measureLevel(lvl, docs, corpusPath, warmPath, runs)
+        measureLevel(lvl, docs, corpusPath, runs)
           .copy(calib = cpuCalibration(lvl))
     }
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 6 && args(0) == "--pipeline-child") {
-      childMain(args(1).toInt, args(2).toLong, args(3).toInt, args(4), args(5))
+    if (args.length >= 5 && args(0) == "--pipeline-child") {
+      childMain(args(1).toInt, args(2).toLong, args(3).toInt, args(4))
       return
     }
     val tStart = System.nanoTime()
@@ -261,13 +264,13 @@ object Bench {
     val corpusRoot = java.nio.file.Files
       .createTempDirectory("graft_bench_corpus").toString
     val corpusPath = s"$corpusRoot/docs"
-    val warmPath = s"$corpusRoot/warm"
     InterleavedCorpus.synthesize(spark, benchDocs, partitions = cpus * 2)
       .write.mode("overwrite").parquet(corpusPath)
-    InterleavedCorpus.synthesize(spark, math.max(benchDocs / 10, 1000L),
-        partitions = cpus * 2, offset = 2L * benchDocs)
-      .write.mode("overwrite").parquet(warmPath)
     spark.stop()
+    // flush dirty pages now, untimed — otherwise the kernel's
+    // writeback of the corpus races the first child's timed reads
+    try new ProcessBuilder("sync").start().waitFor()
+    catch { case _: Exception => () }
     put("pipeline_docs", benchDocs.toString)
 
     // --- end-to-end pipeline + N-vs-4N scaling protocol ---
@@ -281,18 +284,25 @@ object Bench {
     val levels = Seq(cpus, math.max(cpus / 4, 1), math.max(cpus / 16, 1)).distinct
     val timed = scala.collection.mutable.LinkedHashMap.empty[Int, PipeTiming]
     var lastWall = 0.0
+    var lastTotal = 0.0
     levels.foreach { lvl =>
-      // a level at 4x fewer cores costs up to ~4x the previous one's
-      // distributed time but shares its constant overhead; 3.5x the
-      // previous level's wall is a conservative envelope estimate
-      val estimate = if (lastWall == 0.0) 0.0 else lastWall * 3.5
+      // envelope estimate for the next (4x fewer cores) level: the
+      // constant part of the previous level's wall (JVM + Spark
+      // startup + calibration) carries over unchanged, while the
+      // measured pipeline part (warmup + timed runs) scales by up to
+      // 4x: estimate = overhead + 4 * (wall - overhead)
+      val estimate = if (lastWall == 0.0) 0.0 else {
+        val overhead = math.max(lastWall - (runs + 1) * lastTotal, 10.0)
+        overhead + 4.0 * math.max(lastWall - overhead, 0.0)
+      }
       if (timed.nonEmpty && elapsed + estimate > deadlineSec)
         System.err.println(s"bench: skipping n$lvl (elapsed ${elapsed.round}s + " +
           s"est ${estimate.round}s would pass the ${deadlineSec.round}s deadline)")
       else {
         val w0 = System.nanoTime()
-        val t = runLevelIsolated(lvl, benchDocs, runs, corpusPath, warmPath)
+        val t = runLevelIsolated(lvl, benchDocs, runs, corpusPath)
         lastWall = (System.nanoTime() - w0) / 1e9
+        lastTotal = t.total
         timed(lvl) = t
         put(s"pipeline_sec_n$lvl", t.total.toString)
         put(s"distributed_sec_n$lvl", t.dist.toString)
@@ -308,6 +318,10 @@ object Bench {
     val docsPerSec = benchDocs / big.total
     put("solve_sec", big.solve.toString)
     put("docs_per_sec", docsPerSec.toString)
+    // throughput of the phases whose cost actually grows with corpus
+    // size (scan+density+assign+fan-out) — the number that projects
+    // to 100 TB, where the constant driver solve vanishes
+    put("docs_per_sec_distributed", (benchDocs / big.dist).toString)
 
     // raw: speedup / core-ratio. hw-normalized: divide the ideal
     // speedup by the measured per-core slowdown between the two

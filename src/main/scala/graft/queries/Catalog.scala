@@ -306,6 +306,22 @@ object Catalog {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
 
+    // sliding event-time windows (2h length, 1h slide): every event
+    // lands in exactly two hour-aligned windows — the batch shape of
+    // a sliding streaming aggregation
+    "q_sliding" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"))),
+
+    // hierarchical ROLLUP aggregation (per-group, per-returnflag,
+    // grand total in one pass — Spark's Expand operator)
+    "q_rollup" -> ((s, dir) =>
+      lineitem(s, dir).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"))),
+
     // gap sessionization over the event stream: lag window -> session
     // id by cumulative gap flags -> per-session aggregates
     "q_sessions" -> ((s, dir) => {
@@ -371,6 +387,16 @@ object Catalog {
       ("SELECT date_trunc('hour', ts) AS hour, event_type, " +
         "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total " +
         "FROM events GROUP BY 1, 2"),
+
+    "q_sliding" ->
+      ("SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n FROM (" +
+        "SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS w_start, " +
+        "event_type FROM events, (VALUES (0), (1)) off(k)) GROUP BY 1, 2"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
 
     "q_sessions" ->
       ("WITH flagged AS (SELECT user_id, session_id, event_id FROM (" +
