@@ -139,6 +139,47 @@ object OpsCatalog {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // deterministic hash sampling — the reproducible train/eval split
+    // primitive: a doc is in the p% sample iff a salted md5-derived
+    // hash of its id lands under p; stable across runs, engines and
+    // partitionings (never rand()/TABLESAMPLE)
+    "q_sample" -> ((s, dir) =>
+      docs(s, dir).where(
+        conv(substring(md5(concat(lit("smp"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long") % 100 < 10)
+        .select(col("doc_id"))),
+
+    // vocabulary building: global token frequencies with a count
+    // floor — one explode + one hash aggregation, map-side combined
+    "q_vocab" -> ((s, dir) =>
+      docs(s, dir).select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 10)),
+
+    // repetition scoring (the Gopher-style duplicate n-gram ratio):
+    // ppm of character 3-grams that are repeats of an earlier gram
+    "q_repetition" -> ((s, dir) => {
+      val distinctGrams = TextDedup.charShingles(docs(s, dir), 3)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          greatest(length(col("text")) - 2, lit(1)).cast("long").as("n_total"))
+        .join(distinctGrams, "doc_id")
+        .select(col("doc_id"),
+          expr("(n_total - n_distinct) * 1000000 div n_total").as("rep_ppm"))
+    }),
+
+    // exact interpolated quantiles of doc length per source — the
+    // length-filter calibration aggregate (Spark percentile ==
+    // DuckDB quantile_cont, both index p*(n-1) linear interpolation)
+    "q_percentile" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"))),
+
     "q_quality_metrics" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(docs(s, dir), Stopwords)),
 
@@ -357,7 +398,35 @@ object OpsCatalog {
       "SELECT doc_id, keeper_id, keeper_id < doc_id AS is_dup FROM (" +
       "SELECT doc_id, LEAST(min(partner), doc_id) AS keeper_id FROM sym GROUP BY doc_id)"
 
+  private def sampleSql: String =
+    "SELECT doc_id FROM documents WHERE " +
+      "CAST(('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) " +
+      "% 100 < 10"
+
+  private def vocabSql: String =
+    "SELECT tok, CAST(count(*) AS BIGINT) AS n FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "GROUP BY tok HAVING count(*) >= 10"
+
+  private def repetitionSql: String =
+    s"WITH d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct " +
+      s"FROM ${gramsSql(3, "")} g GROUP BY doc_id), " +
+      "t AS (SELECT doc_id, CAST(GREATEST(len(text) - 2, 1) AS BIGINT) AS n_total " +
+      "FROM documents) " +
+      "SELECT t.doc_id, (n_total - n_distinct) * 1000000 // n_total AS rep_ppm " +
+      "FROM t JOIN d ON t.doc_id = d.doc_id"
+
+  private def percentileSql: String =
+    "SELECT source, round(quantile_cont(n_tokens, 0.5), 6) AS p50, " +
+      "round(quantile_cont(n_tokens, 0.9), 6) AS p90 FROM " +
+      "(SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents) GROUP BY source"
+
   val oracles: Map[String, String] = Map(
+    "q_sample" -> sampleSql,
+    "q_vocab" -> vocabSql,
+    "q_repetition" -> repetitionSql,
+    "q_percentile" -> percentileSql,
     "q_minhash" -> minhashSelectSql,
     "q_lsh_pairs" -> bandJoinSql,
     "q_dedup_near" -> dedupNearSql,
