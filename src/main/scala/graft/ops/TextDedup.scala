@@ -257,6 +257,68 @@ object TextDedup {
     labels
   }
 
+  /**
+   * Connected components via alternating large-star / small-star
+   * contraction (Kiveris et al., "Connected Components in MapReduce
+   * and Beyond", SoCC'14) — the shuffle-lean formulation for
+   * web-scale graphs. Each round shuffles only the (monotonically
+   * star-ifying) EDGE list:
+   *
+   *  - large-star: every node links its LARGER neighbors to the
+   *    minimum of its closed neighborhood;
+   *  - small-star: every node links its smaller-or-equal neighbors
+   *    (and itself) to the minimum among them.
+   *
+   * Alternating the two preserves connectivity and converges to star
+   * graphs (every node linked directly to its component minimum) in
+   * O(log n) rounds. Compared to [[connectedComponents]]' pointer
+   * jumping — which shuffles the full label table twice per round
+   * (neighbor-min join + label-of-label join) — each round here is
+   * two aggregations and two joins over the edge list alone, which
+   * SHRINKS toward one edge per non-root node; at 10^12-doc scale
+   * that halves per-round shuffle volume. Output contract identical
+   * to [[connectedComponents]]: (id, label) for every id appearing
+   * in a pair, label = smallest id in the component (spec-proven
+   * equal on randomized graphs).
+   */
+  def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric neighbor view
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val minAll = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val afterLarge = sym.join(minAll, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star over the directed (to-smaller) view
+      val minSmaller = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val next = afterLarge.join(minSmaller, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minSmaller.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // set equality: next ⊆ edges and equal cardinality
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      round += 1
+    }
+    edges.select(col("u").as("id"), col("v").as("label"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
+  }
+
   /** Distinct character n-gram shingles: (id, gram). */
   def charShingles(docs: DataFrame, n: Int = 3,
                    id: String = "doc_id", text: String = "text"): DataFrame =

@@ -130,6 +130,25 @@ class OpsSpec extends AnyFunSuite {
     assert(again.forall(_.getLong(1) == 1L))
   }
 
+  test("large-star/small-star CC equals pointer-jump CC on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816)
+    // chains, a clique, a star, plus random noise edges — the shapes
+    // that stress contraction differently (long paths vs wide hubs)
+    val chain = (0 until 30).map(i => (100L + i, 101L + i))
+    val clique = for (i <- 0 until 6; j <- i + 1 until 6) yield (200L + i, 200L + j)
+    val star = (1 until 12).map(i => (300L, 300L + i))
+    val noise = Seq.fill(60)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = (chain ++ clique ++ star ++ noise).toDF("id_a", "id_b")
+    val jump = graft.ops.TextDedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = graft.ops.TextDedup.connectedComponentsStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars === jump,
+      s"star-contraction labels diverge: ${stars.toSet.diff(jump.toSet).take(5)}")
+  }
+
   test("dot_f64 codegen expression is bit-identical to the HOF formulation") {
     import graft.functions.DotF64Expr.dotF64
     def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
