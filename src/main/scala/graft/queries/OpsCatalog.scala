@@ -84,6 +84,17 @@ object OpsCatalog {
           (col("label") < col("id")).as("is_dup"))
     }),
 
+    // same canonicalization as q_dedup_cc but via the web-scale
+    // large-star/small-star contraction — both CC formulations are
+    // independently oracle-gated against the recursive-CTE closure
+    "q_dedup_cc_stars" -> ((s, dir) => {
+      val pairs = TextDedup.lshCandidatePairs(boundedSigs(s, dir), K, 8)
+        .where(col("n_match") >= 12)
+      TextDedup.connectedComponentsStars(pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("label").as("keeper_id"),
+          (col("label") < col("id")).as("is_dup"))
+    }),
+
     "q_simhash" -> ((s, dir) => TextDedup.simhash(docs(s, dir), SimBits)),
 
     // Hamming-LSH near-dup: band-blocked candidate join over SimHash
@@ -431,6 +442,7 @@ object OpsCatalog {
     "q_lsh_pairs" -> bandJoinSql,
     "q_dedup_near" -> dedupNearSql,
     "q_dedup_cc" -> dedupCcSql,
+    "q_dedup_cc_stars" -> dedupCcSql,
     "q_simhash" -> simhashSql,
     "q_simhash_dup" -> simhashDupSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
