@@ -101,16 +101,25 @@ object Bench {
         InterleavedCorpus.spanFingerprint(col("spans"))
           .bitwiseXOR(xxhash64(col("doc_id"))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inFp = prepared.agg(expr("bit_xor(fp)")).collect()(0).getLong(0)
-    val grid = SplitPipeline.computeGrid(prepared, cfg)
+    // fingerprint rides the density aggregation: ONE corpus pass
+    // computes the grid AND the input checksum (bounds cover the full
+    // synthesis window, so no row escapes the checksum — and a
+    // clipped row would surface as an invariant mismatch below)
+    val (grid, inFp) = graft.density.DensityJob.collectGridWithXor(
+      prepared, col("lat_mu"), col("lon_mu"), col("fp"),
+      cfg.bounds.get, cfg.resolution)
     val t1 = System.nanoTime()
     val areas = SplitPipeline.solve(grid, cfg)
     val t2 = System.nanoTime()
     val index = SplitPipeline.buildIndex(areas, cfg)
     val assigned = graft.assign.TileAssigner.withTileIds(spark, prepared,
       col("lat_mu"), col("lon_mu"), index, cfg.nearestFallback)
-    val outFp = assigned.agg(expr("bit_xor(fp)")).collect()(0).getLong(0)
-    graft.assign.TileAssigner.explodeByTile(assigned, cfg.startMapId).count()
+    // output checksum + fan-out row count in ONE action:
+    // sum(size(tile_ids)) == count of the exploded fan-out
+    val outRow = assigned
+      .agg(expr("bit_xor(fp)"), sum(size(col("tile_ids")))).collect()(0)
+    val outFp = outRow.getLong(0)
+    require(outRow.getLong(1) >= nDocs, "fan-out lost rows")
     val t3 = System.nanoTime()
     prepared.unpersist(true)
     require(inFp == outFp,

@@ -119,6 +119,52 @@ object DensityJob {
   }
 
   /**
+   * [[collectGrid]] fused with a whole-input XOR checksum: one
+   * aggregation computes per-cell (count, bit_xor(fpCol)) and the
+   * driver XORs the per-cell partials back together — XOR is
+   * associative/commutative, so the result equals bit_xor over all
+   * rows. Saves the separate full pass a standalone checksum action
+   * would cost (the corpus scan is the dominant term of the
+   * pipeline's density phase).
+   */
+  def collectGridWithXor(points: DataFrame, lat: Column, lon: Column,
+                         fp: Column, bounds: TileRect,
+                         resolution: Int): (DensityGrid, Long) = {
+    val aligned = bounds.roundedTo(resolution)
+    val spark = points.sparkSession
+    import spark.implicits._
+    val shift = 24 - resolution
+    val key = cellY(lat, aligned, shift).cast("long") * (1L << 32) +
+      cellX(lon, aligned, shift).cast("long")
+    val packed = points
+      .where(inBounds(lat, lon, aligned))
+      .select(key.as("cell_key"), fp.as("__fp"))
+      .groupBy("cell_key")
+      .agg(count(lit(1)).as("cnt"), expr("bit_xor(__fp)").as("fpx"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val keys = Array.newBuilder[Long]
+        val cnts = Array.newBuilder[Long]
+        var x = 0L
+        it.foreach { case (k, c, f) => keys += k; cnts += c; x ^= f }
+        Iterator.single((keys.result(), cnts.result(), x))
+      }
+      .collect()
+    val g = new DensityGrid(aligned, resolution)
+    var xor = 0L
+    packed.foreach { case (keys, cnts, x) =>
+      xor ^= x
+      var i = 0
+      while (i < keys.length) {
+        val k = keys(i)
+        g.addToCell((k % (1L << 32)).toInt, (k >> 32).toInt, cnts(i).toInt)
+        i += 1
+      }
+    }
+    (g, xor)
+  }
+
+  /**
    * Collect a histogram into the driver-side [[DensityGrid]].
    *
    * Each result partition packs its (cell_key, cnt) rows into two
