@@ -299,8 +299,9 @@ object TextDedup {
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
-      // small-star over the directed (to-smaller) view
+      // small-star over the directed (to-smaller) view; only the
+      // round result is checkpointed — lineage inside a round is two
+      // joins deep, no need to materialize the midpoint
       val minSmaller = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
       val next = afterLarge.join(minSmaller, "u")
         .where(col("v") =!= col("m"))
@@ -308,7 +309,8 @@ object TextDedup {
         .unionByName(minSmaller.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // set equality: next ⊆ edges and equal cardinality
+      // set equality = equal cardinality AND next ⊆ edges; the
+      // anti-join only runs once the counts agree (late rounds)
       converged = next.count() == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
