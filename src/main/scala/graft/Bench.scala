@@ -20,16 +20,19 @@ import scala.jdk.CollectionConverters._
  * pre-touched heap), so levels cannot contaminate each other through
  * heap fragmentation, JIT state, or leftover Spark sessions. Levels
  * run fastest-first (n32 before n8 before n2) and each level reports
- * the median of SPARK_GRAFT_BENCH_RUNS timed runs (default 1) after
- * an untimed warmup.
+ * the median of SPARK_GRAFT_BENCH_RUNS timed runs (default 3 — the box
+ * shows 1.5-2x level-wide run-to-run swings, medians are the only
+ * defense) after an untimed warmup.
  *
  * Harness-survival contract: the whole run targets a wall-clock
- * envelope (SPARK_GRAFT_BENCH_DEADLINE seconds, default 600). Partial
+ * envelope (SPARK_GRAFT_BENCH_DEADLINE seconds, default 720). Partial
  * results are flushed to bench_result.json after every phase and
  * every level, so even a SIGKILL leaves machine-readable evidence;
- * when the deadline approaches, remaining levels are skipped and the
+ * when the deadline approaches, remaining work is skipped and the
  * final JSON line is printed from whatever completed — a truncated
- * run degrades, it never produces nothing.
+ * run degrades, it never produces nothing. The pipeline levels (the
+ * BASELINE.json scoreboard) run BEFORE the query suite, so
+ * truncation eats query timings first.
  */
 object Bench {
   private def session(cpus: Int): SparkSession = {
@@ -243,39 +246,24 @@ object Bench {
     }
     val tStart = System.nanoTime()
     val deadlineSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "600").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "720").toDouble
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "8000000").toLong
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     put("sf", "\"" + sfDir + "\"")
-
-    // --- catalog queries at full parallelism ---
-    // one untimed pass first: the initial execution of each generated
-    // pipeline measures HotSpot/codegen compilation, not the engine
     val spark = session(cpus)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    put("queries", qs)
-    put("queries_total_sec", results.map(_._2).sum.toString)
 
     // --- materialize the benchmark corpus once (untimed setup): the
-    // pipeline under measurement READS parquet, like the real job ---
+    // pipeline under measurement READS parquet, like the real job.
+    // The scoreboard metrics (throughput + N-vs-4N scaling) run FIRST
+    // so a slow box day truncates the query suite, never the pipeline ---
     val corpusRoot = java.nio.file.Files
       .createTempDirectory("graft_bench_corpus").toString
     val corpusPath = s"$corpusRoot/docs"
     InterleavedCorpus.synthesize(spark, benchDocs, partitions = cpus * 2)
       .write.mode("overwrite").parquet(corpusPath)
-    spark.stop()
     // flush dirty pages now, untimed — otherwise the kernel's
     // writeback of the corpus races the first child's timed reads
     try new ProcessBuilder("sync").start().waitFor()
@@ -325,6 +313,31 @@ object Bench {
     catch { case _: Throwable => () }
     val big = timed(levels.head)
     val docsPerSec = benchDocs / big.total
+
+    // --- catalog queries at full parallelism (after the scoreboard
+    // metrics; a deadline overrun truncates HERE, not the pipeline).
+    // One untimed pass first: the initial execution of each generated
+    // pipeline measures HotSpot/codegen compilation, not the engine.
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    sortedQueries.foreach { case (_, fn) =>
+      if (elapsed < deadlineSec)
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    val results = sortedQueries.flatMap { case (name, fn) =>
+      if (elapsed >= deadlineSec) {
+        System.err.println(s"bench: deadline passed, skipping query $name")
+        None
+      } else {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    put("queries", qs)
+    put("queries_total_sec", results.map(_._2).sum.toString)
+    spark.stop()
     put("solve_sec", big.solve.toString)
     put("docs_per_sec", docsPerSec.toString)
     // throughput of the phases whose cost actually grows with corpus
