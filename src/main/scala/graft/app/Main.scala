@@ -33,6 +33,7 @@ final case class SplitterArgs(
     problemFile: Option[String] = None,
     problemReport: Option[String] = None,
     polygonFile: Option[String] = None,
+    polygonDescFile: Option[String] = None,
     precompSea: Option[String] = None,
     boundaryTags: Option[String] = None,
     wantedAdminLevel: Option[Int] = None,
@@ -108,6 +109,8 @@ object SplitterArgs {
             case "problem-file" => a = a.copy(problemFile = Some(value))
             case "problem-report" => a = a.copy(problemReport = Some(value))
             case "polygon-file" => a = a.copy(polygonFile = Some(value))
+            case "polygon-desc-file" =>
+              a = a.copy(polygonDescFile = Some(value))
             case "precomp-sea" => a = a.copy(precompSea = Some(value))
             case "boundary-tags" => a = a.copy(boundaryTags = Some(value))
             case "wanted-admin-level" =>
@@ -205,18 +208,40 @@ object Main {
             SplitPipeline.computeGridWithSea(points, sea, cfgB)
           case None => SplitPipeline.computeGrid(points, cfgB)
         }
-        // --polygon-file: constrain the solve to the polygon
-        // (reference AreasCalculator.readPolygonFile:105-119 ->
-        // SplittableDensityArea.split(polygon))
-        val as = a.polygonFile match {
-          case Some(pf) =>
+        // --polygon-desc-file (named polygons, takes precedence like
+        // the reference's readPolygonDescFile after readPolygonFile,
+        // AreasCalculator.java:52-53) or --polygon-file constrain the
+        // solve. The desc analog is a DIRECTORY of osmosis .poly
+        // files (the reference reads one OSM XML of named polygons;
+        // OSM parsing is out of scope by design, the .poly name line
+        // carries the region name).
+        val as = (a.polygonDescFile, a.polygonFile) match {
+          case (Some(dir), _) =>
+            val files = Option(new java.io.File(dir)
+                .listFiles((_, n) => n.endsWith(".poly")))
+              .getOrElse(throw new IllegalArgumentException(
+                s"polygon desc directory doesn't exist: $dir"))
+              .sortBy(_.getName)
+            val polys = files.toSeq.map { f =>
+              graft.solver.NamedPolygon(
+                graft.output.PolyWriters.readPolyName(f.getPath),
+                graft.solver.PolygonSupport.polygonOf(
+                  graft.output.PolyWriters.readPoly(f.getPath)))
+            }
+            graft.solver.NamedPolygonSplit
+              .split(grid, polys, cfg.maxNodes, cfg.searchLimit)
+              .flatMap { case (desc, tiles) => tiles.map(r => (desc, r)) }
+              .zipWithIndex
+              .map { case ((desc, r), i) =>
+                graft.output.AreaDef(cfg.startMapId + i, r, Some(desc)) }
+          case (None, Some(pf)) =>
             val poly = graft.solver.PolygonSupport.polygonOf(
               graft.output.PolyWriters.readPoly(pf))
             graft.solver.PolygonSupport
               .split(grid, poly, cfg.maxNodes, cfg.searchLimit)
               .zipWithIndex
               .map { case (r, i) => graft.output.AreaDef(cfg.startMapId + i, r) }
-          case None => SplitPipeline.solve(grid, cfg)
+          case _ => SplitPipeline.solve(grid, cfg)
         }
         if (a.mapid + as.size > 99999999)
           throw new IllegalArgumentException(
@@ -231,8 +256,8 @@ object Main {
         val names = graft.sources.GeoNames
           .nameTiles(tilesDimOf(spark, solved), cities)
           .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-        solved.map(ad =>
-          ad.copy(name = names.get(ad.mapId.toLong).orElse(a.description)))
+        solved.map(ad => ad.copy(name =
+          names.get(ad.mapId.toLong).orElse(ad.name).orElse(a.description)))
       case None => solved.map(ad => ad.copy(name = ad.name.orElse(a.description)))
     }
     AreaWriters.writeAreasList(s"$outDir/areas.list", areas)

@@ -84,6 +84,12 @@ object PolyWriters {
     } finally pw.close()
   }
 
+  /** The polygon name: the first line of an osmosis .poly file. */
+  def readPolyName(path: String): String = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().next().trim finally src.close()
+  }
+
   /** Parse an osmosis .poly back into rings of map-unit (lat, lon). */
   def readPoly(path: String): Seq[(Seq[(Int, Int)], Boolean)] = {
     val lines = scala.io.Source.fromFile(path).getLines().toList

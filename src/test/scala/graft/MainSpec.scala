@@ -105,6 +105,33 @@ class MainSpec extends AnyFunSuite {
       s"tile entirely outside the polygon: ${areas.filter(_.rect.minLon >= 0)}")
   }
 
+  test("--polygon-desc-file splits per named polygon, names flow to template.args") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pdesc").toString
+    val descDir = java.nio.file.Files.createTempDirectory("graft_pdescdir").toString
+    val lat0 = graft.geo.CoordSynthesis.LatMin
+    val lat1 = graft.geo.CoordSynthesis.LatMax
+    val lon0 = graft.geo.CoordSynthesis.LonMin
+    val lon1 = graft.geo.CoordSynthesis.LonMax
+    // two overlapping named regions: west 60% and east 60%
+    graft.output.PolyWriters.writePoly(s"$descDir/west.poly", "westland",
+      Seq(graft.geo.TileRect(lat0, lon0, lat1, lon0 + (lon1 - lon0) * 3 / 5)))
+    graft.output.PolyWriters.writePoly(s"$descDir/east.poly", "eastland",
+      Seq(graft.geo.TileRect(lat0, lon1 - (lon1 - lon0) * 3 / 5, lat1, lon1)))
+    val a = SplitterArgs.parse(Seq(
+      s"--output-dir=$out", "--stop-after=split", "--max-nodes=200",
+      s"--polygon-desc-file=$descDir",
+      "/root/testdata/sf0.001/documents.parquet")).toOption.get
+    assert(Main.run(spark, a) === "split")
+    val areas = graft.output.AreaWriters.readAreasList(s"$out/areas.list")
+    assert(areas.nonEmpty)
+    val tmpl = scala.io.Source.fromFile(s"$out/template.args").mkString
+    assert(tmpl.contains("westland") && tmpl.contains("eastland"),
+      "polygon names must become tile descriptions")
+    assert(tmpl.contains("eastland and westland") ||
+      tmpl.contains("westland and eastland"),
+      "the shared middle region must be split as its own named part")
+  }
+
   test("--precomp-sea merges the sea background into the density grid") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_sea").toString
