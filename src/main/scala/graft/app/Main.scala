@@ -301,6 +301,11 @@ object Main {
     }
     AreaWriters.writeProblemList(
       a.problemReport.getOrElse(s"$outDir/problem.list"), problems, Nil)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/metrics.jsonl"),
+      s"""{"phase":"gen-problem-list","problems":${problems.size}}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     if (a.stopAfter == "gen-problem-list") return "gen-problem-list"
 
     // ---- phase: handle-problem-list (keep-complete duplication) ----
@@ -326,6 +331,11 @@ object Main {
       ProblemJoins.keepCompleteTiles(members, segments, tilesDim,
           areas.map(_.rect), areas.map(_.mapId.toLong))
         .write.mode("overwrite").parquet(s"$outDir/link_tiles.parquet")
+      // per-partition lineage of the phase artifact (read-back, so the
+      // metric covers what actually landed on disk)
+      SplitPipeline.recordMetrics(
+        spark.read.parquet(s"$outDir/link_tiles.parquet"),
+        "handle-problem-list", outDir)
     }
     if (a.stopAfter == "handle-problem-list") return "handle-problem-list"
 

@@ -221,6 +221,44 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
+  test("P5 relevance Column equals an independent scalar model across configs") {
+    import spark.implicits._
+    import graft.assign.RelevanceFilter
+    // scalar re-derivation of ProblemListProcessor.processRelation
+    // semantics over the synthetic tag model
+    def scalar(l: Long, tags: String, wanted: Int): Boolean = {
+      val relType = Seq("multipolygon", "boundary", "restriction",
+        "associatedStreet", "route")((l % 5).toInt)
+      val boundary = if (l % 4 == 0) null
+        else Seq("administrative", "postal_code", "census")((l % 4).toInt - 1)
+      val admin: java.lang.Long = if (l % 3 == 0) null else 2 + l % 10
+      val direct = Set("restriction", "through_route", "associatedStreet",
+        "street")(relType) || relType.startsWith("restriction:")
+      val isMp = Set("multipolygon", "boundary")(relType)
+      val hasB = boundary != null
+      val isWanted =
+        if (tags == RelevanceFilter.UseExcludeList)
+          !hasB || !Set("administrative", "postal_code", "political")(boundary)
+        else hasB && tags.split(",").contains(boundary)
+      val lo = math.max(2, wanted)
+      val adminOk = admin != null && admin >= lo && admin <= 11
+      direct || (isMp && (isWanted || !hasB)) || (isMp && hasB && adminOk)
+    }
+    val ids = (0L until 1000L).toDF("link_id")
+    for ((tags, wanted) <- Seq((RelevanceFilter.UseExcludeList, 5),
+      ("census", 8), ("administrative,political", 2), ("postal_code", 11))) {
+      val fromColumn = ids.where(RelevanceFilter.relevant(
+        RelevanceFilter.relTypeCol(org.apache.spark.sql.functions.col("link_id")),
+        RelevanceFilter.boundaryCol(org.apache.spark.sql.functions.col("link_id")),
+        RelevanceFilter.adminLevelCol(org.apache.spark.sql.functions.col("link_id")),
+        tags, wanted)).collect().map(_.getLong(0)).toSet
+      val fromScalar = (0L until 1000L).filter(scalar(_, tags, wanted)).toSet
+      assert(fromColumn === fromScalar,
+        s"($tags, $wanted): col-only ${fromColumn.diff(fromScalar).take(5)}, " +
+          s"scalar-only ${fromScalar.diff(fromColumn).take(5)}")
+    }
+  }
+
   test("split-file reuse skips the solve and reuses the given areas") {
     val out = java.nio.file.Files.createTempDirectory("graft_main2").toString
     val first = SplitterArgs.parse(Seq(
