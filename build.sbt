@@ -32,10 +32,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// Heap pre-touch (-Xms=-Xmx -XX:+AlwaysPreTouch) is applied ONLY to
-// the child JVMs Bench spawns per parallelism level (see
-// Bench.runLevelIsolated): pre-touching there keeps the kernel
-// page-fault storm of a growing heap out of the timed runs (measured
-// 2x on the n32 pipeline), while the parent orchestrator JVM — which
-// only runs untimed setup around the children — grows lazily so
-// parent + child committed memory stays inside the harness envelope.
+// Heap pre-touch: committing + pre-touching the heap up front keeps
+// the kernel page-fault storm of a growing heap out of 32-thread
+// timings (measured 2x on the n32 pipeline). The parent run JVM
+// pre-touches here; Bench's per-level child JVMs pre-touch their own
+// BOUNDED 6g heaps (Bench.runLevelIsolated strips these flags and
+// sets its own), so peak committed memory is parent 8g + one child
+// 6g — inside the harness envelope that round 2's 8g+8g (+40M-doc
+// page cache) run blew.
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+)

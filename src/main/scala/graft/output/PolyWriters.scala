@@ -87,7 +87,12 @@ object PolyWriters {
   /** The polygon name: the first line of an osmosis .poly file. */
   def readPolyName(path: String): String = {
     val src = scala.io.Source.fromFile(path)
-    try src.getLines().next().trim finally src.close()
+    try {
+      val it = src.getLines()
+      if (!it.hasNext)
+        throw new IllegalArgumentException(s"empty polygon file: $path")
+      it.next().trim
+    } finally src.close()
   }
 
   /** Parse an osmosis .poly back into rings of map-unit (lat, lon). */

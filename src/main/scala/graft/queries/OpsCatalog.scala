@@ -29,10 +29,14 @@ object OpsCatalog {
   // checkpoints can never be reused.
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def boundedSigs(s: SparkSession, dir: String): DataFrame =
+  private def boundedSigs(s: SparkSession, dir: String): DataFrame = {
+    // evict entries of stopped sessions so the cache never pins a dead
+    // SparkSession (and its checkpoint plans) for the life of the JVM
+    sigCache.keySet.removeIf(_._1.sparkContext.isStopped)
     sigCache.computeIfAbsent((s, dir), _ =>
       TextDedup.minhashSignatures(
         docs(s, dir).where(col("doc_id") < 2000), K).localCheckpoint(false))
+  }
 
   // distinct (doc_id, token-hash) rows, shared by minhash/simhash oracles
   private val tokSql =

@@ -160,7 +160,8 @@ final class BspSolver(val grid: DensityGrid,
         var part0: BspSolution = null
         var part1: BspSolution = null
         var axis = 0
-        while (axis < 2 && part1 == null) {
+        var cutFound = false
+        while (axis < 2 && !cutFound) {
           var r1 =
             if (axis == 0)
               new Rectangle(pBounds.x, pBounds.y, cutX - pBounds.x, pBounds.height)
@@ -178,18 +179,23 @@ final class BspSolver(val grid: DensityGrid,
           if (!r1.isEmpty && !r2.isEmpty) {
             val a1 = new java.awt.geom.Area(r1)
             a1.intersect(rastered)
-            val p0 = findSolutionWithSinglePolygon(depth + 1, a1)
-            if (p0 != null && !p0.isEmpty) {
-              part0 = p0
+            part0 = findSolutionWithSinglePolygon(depth + 1, a1)
+            if (part0 != null && !part0.isEmpty) {
               val a2 = new java.awt.geom.Area(r2)
               a2.intersect(rastered)
-              val p1 = findSolutionWithSinglePolygon(depth + 1, a2)
-              if (p1 != null && !p1.isEmpty) part1 = p1
+              part1 = findSolutionWithSinglePolygon(depth + 1, a2)
+              // reference :563-576: the axis loop breaks only on a
+              // non-empty complement, but a cut whose complement
+              // solved to a non-null EMPTY solution (a data-empty
+              // half, e.g. ocean inside the polygon) is still
+              // ACCEPTED after the loop — merging empty is a no-op
+              // and the populated half's tiles are returned
+              if (part1 != null && !part1.isEmpty) cutFound = true
             }
           }
           axis += 1
         }
-        if (part1 != null) {
+        if (part1 != null && part0 != null && !part0.isEmpty) {
           part0.merge(part1)
           return part0
         }

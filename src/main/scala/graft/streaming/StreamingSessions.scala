@@ -26,8 +26,19 @@ object StreamingSessions {
   final case class Session(user_id: Long, session_id: Long,
                            n_events: Long, first_event: Long)
 
-  /** `events` must already carry a watermark on `ts`. */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 3600L): Dataset[Session] = {
+  /**
+   * `events` must already carry a watermark on `ts`.
+   *
+   * @param tombstoneSeconds how long a timed-out user's session
+   *        counter is retained (as an n == 0 tombstone) so a
+   *        returning user continues numbering at sessionId + 1. The
+   *        tombstone expires via its own event-time timeout, so state
+   *        stays bounded by the RECENTLY-ACTIVE user count, not every
+   *        user ever seen; a user silent longer than this restarts at
+   *        session 1 (the documented trade-off of bounded state).
+   */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 3600L,
+                 tombstoneSeconds: Long = 30L * 24 * 3600): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val longEnc = Encoders.scalaLong
@@ -40,15 +51,24 @@ object StreamingSessions {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) => {
           if (state.hasTimedOut) {
-            // watermark passed lastTs + gap with no new events: the
-            // open session is final. Keep the counter as an n == 0
-            // tombstone (no timeout set, so it persists) — a user who
-            // returns later continues at sessionId + 1 instead of
-            // restarting at 1, preserving the batch query's cumulative
-            // per-user numbering.
-            val out = state.getOption.filter(_.n > 0).map(flush(user, _)).toSeq
-            state.getOption.foreach(st => state.update(st.copy(n = 0)))
-            out.iterator
+            state.getOption match {
+              case Some(st) if st.n > 0 =>
+                // watermark passed lastTs + gap with no new events:
+                // the open session is final. Keep the counter as an
+                // n == 0 tombstone — a user who returns continues at
+                // sessionId + 1 instead of restarting at 1 (the batch
+                // query's cumulative numbering) — and give the
+                // tombstone its own expiry so state stays bounded
+                state.update(st.copy(n = 0))
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1,
+                  st.lastTsMicros / 1000L + tombstoneSeconds * 1000L))
+                Iterator.single(flush(user, st))
+              case _ =>
+                // an expiring tombstone: the retention horizon passed
+                state.remove()
+                Iterator.empty
+            }
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val closed = Seq.newBuilder[Session]
