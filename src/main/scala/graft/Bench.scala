@@ -248,12 +248,17 @@ object Bench {
         case Some(r) if rc == 0 => r
         case _ =>
           System.err.println(s"bench: child for n$lvl failed (rc=$rc), measuring in-process")
+          // machine-readable degraded-mode marker: the fallback borrows
+          // the live orchestrator session, so the level's parallelism
+          // is approximate — consumers can discard the affected pair
+          put(s"approx_parallelism_n$lvl", "true")
           measureLevel(lvl, docs, corpusPath, runs)
             .copy(calib = cpuCalibration(lvl))
       }
     } catch {
       case e: Exception =>
         System.err.println(s"bench: child spawn failed (${e.getMessage}), measuring in-process")
+        put(s"approx_parallelism_n$lvl", "true")
         measureLevel(lvl, docs, corpusPath, runs)
           .copy(calib = cpuCalibration(lvl))
     }
@@ -368,7 +373,11 @@ object Bench {
     // metrics; a deadline overrun truncates HERE, not the pipeline).
     // One untimed pass first: the initial execution of each generated
     // pipeline measures HotSpot/codegen compilation, not the engine.
+    // both CC formulations stay oracle-gated in Verify, but the timed
+    // suite needs only one: the web-scale stars variant is the timed
+    // CC path, the pointer-jumping twin is skipped here
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1 == "q_dedup_cc")
     sortedQueries.foreach { case (_, fn) =>
       if (elapsed < deadlineSec)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -406,7 +415,9 @@ object Bench {
       val rawDist = (timed(n).dist / timed(n4).dist) / scale
       val hw = // > 1 when cores slow down as more of them activate
         if (timed(n).calib > 0) timed(n4).calib / timed(n).calib else 1.0
-      (rawE2e, rawDist, rawE2e * hw, rawDist * hw)
+      // normalized values are capped at 1.0: the correction projects to
+      // a cluster, it must never CREDIT super-linear scaling
+      (rawE2e, rawDist, math.min(1.0, rawE2e * hw), math.min(1.0, rawDist * hw))
     }
     val done = levels.filter(timed.contains)
     val (effHighE2e, effHighDist, effHighE2eN, effHighDistN) =
@@ -442,7 +453,8 @@ object Bench {
           if (lc > 0 && mc > 0) mc / lc else 1.0
         }
         ((lT / mT) / scale, (lD / mD) / scale,
-          (lT / mT) / scale * cpuFactor, (lD / mD) / scale * cpuFactor)
+          math.min(1.0, (lT / mT) / scale * cpuFactor),
+          math.min(1.0, (lD / mD) / scale * cpuFactor))
       } else if (done.size > 2) eff(done(2), done(1))
       else (effHighE2e, effHighDist, effHighE2eN, effHighDistN)
     val meanOfPairs =

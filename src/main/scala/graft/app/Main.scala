@@ -158,12 +158,12 @@ object SplitterArgs {
  */
 object Main {
 
-  /** Links derive arithmetically from doc ids (link L owns docs
-    * 5L..5L+4) — the corpus's link model, shared with the catalog. */
+  /** Links derive arithmetically from doc ids — the corpus's link
+    * model ([[graft.model.LinkModel]]), shared with the catalog. */
   private def linksOf(points: DataFrame): DataFrame =
-    points.select(expr("doc_id div 5").as("link_id")).distinct()
+    points.select(graft.model.LinkModel.linkIdCol().as("link_id")).distinct()
       .select(col("link_id"),
-        sequence(col("link_id") * 5, col("link_id") * 5 + 4).as("member_ids"))
+        graft.model.LinkModel.memberIdsCol(col("link_id")).as("member_ids"))
 
   /** Solved areas as a t_-prefixed broadcast dimension. */
   private def tilesDimOf(spark: SparkSession,
@@ -179,6 +179,10 @@ object Main {
     val cfg = a.toConfig
     val outDir = a.outputDir
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // metrics reflect THIS run's artifacts: truncate, never accumulate
+    // stale phase lines from earlier runs into the same output dir
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$outDir/metrics.jsonl"))
     val raw = a.inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
     // normalize: the interleaved corpus carries string doc ids
     // ("d%012d"); flat test tables carry numeric ones
@@ -280,10 +284,21 @@ object Main {
     val index = SplitPipeline.buildIndex(areas, cfg)
     val assignment = TileAssigner.withTileIds(spark, points,
       col("lat_mu"), col("lon_mu"), index, cfg.nearestFallback)
-    val problems: Seq[String] = a.problemFile match {
+    // problem links stay a Dataset end-to-end: the computed path
+    // never collects link ids to the driver — problem.list streams
+    // out one partition at a time and the handle phase semi-joins
+    // against the same checkpointed frame. Only --problem-file input
+    // is inherently a (bounded) driver artifact.
+    val problems: DataFrame = (a.problemFile match {
       case Some(pf) =>
+        import spark.implicits._
         val (ways, rels) = AreaWriters.readProblemList(pf)
-        ways ++ rels
+        // non-numeric ids can name links no corpus doc carries; they
+        // round-trip through problem.list but join nothing
+        AreaWriters.writeProblemList(
+          a.problemReport.getOrElse(s"$outDir/problem.list"), ways ++ rels, Nil)
+        (ways ++ rels).flatMap(p => scala.util.Try(p.toLong).toOption)
+          .toDF("link_id")
       case None =>
         val allLinks = linksOf(points)
         val considered =
@@ -297,13 +312,19 @@ object Main {
         val linkTiles = LinkMembership.linkTiles(considered, assignment,
           salted = true)
         LinkMembership.problemLinks(linkTiles)
-          .collect().map(_.getLong(0).toString).toSeq
+    }).localCheckpoint(true)
+    val nProblems = a.problemFile match {
+      case Some(_) => problems.count() // tiny, file-derived
+      case None =>
+        // stream the sorted list to disk: bounded driver memory at any
+        // problem count (same byte format writeProblemList produces,
+        // string-sorted like its Seq[String] path)
+        AreaWriters.writeProblemListStreamed(
+          a.problemReport.getOrElse(s"$outDir/problem.list"), problems)
     }
-    AreaWriters.writeProblemList(
-      a.problemReport.getOrElse(s"$outDir/problem.list"), problems, Nil)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/metrics.jsonl"),
-      s"""{"phase":"gen-problem-list","problems":${problems.size}}""" + "\n",
+      s"""{"phase":"gen-problem-list","problems":$nProblems}""" + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     if (a.stopAfter == "gen-problem-list") return "gen-problem-list"
@@ -311,24 +332,24 @@ object Main {
     // ---- phase: handle-problem-list (keep-complete duplication) ----
     // only the problem links are handled — file-given or computed —
     // matching the reference's handle-problem-list scope
-    // (MultiTileProcessor consumes exactly the problem list)
+    // (MultiTileProcessor consumes exactly the problem list). The
+    // semi-joins are plain equi-joins on the checkpointed problem
+    // frame: Spark broadcasts it while it is small and falls back to
+    // a shuffled semi-join at planet-scale problem counts.
     if (cfg.keepComplete) {
-      import spark.implicits._
-      val problemIds = problems.flatMap(p => scala.util.Try(p.toLong).toOption)
-      val probDf = problemIds.toDF("link_id")
-      val members = points.withColumn("link_id", expr("doc_id div 5"))
-        .join(broadcast(probDf), Seq("link_id"), "left_semi")
+      val members = points
+        .withColumn("link_id", graft.model.LinkModel.linkIdCol())
+        .join(problems, Seq("link_id"), "left_semi")
       val p1 = points.select(col("doc_id").as("id1"),
         col("lon_mu").as("x1"), col("lat_mu").as("y1"))
       val p2 = points.select(col("doc_id").as("id2"),
         col("lon_mu").as("x2"), col("lat_mu").as("y2"))
-      val segments = p1.where(expr("id1 % 5 < 4"))
+      val segments = p1.where(graft.model.LinkModel.segmentStartCol("id1"))
         .join(p2, col("id2") === col("id1") + 1)
-        .select(expr("id1 div 5").as("link_id"),
+        .select(graft.model.LinkModel.linkIdCol("id1").as("link_id"),
           col("x1"), col("y1"), col("x2"), col("y2"))
-        .join(broadcast(probDf), Seq("link_id"), "left_semi")
-      val tilesDim = tilesDimOf(spark, areas)
-      ProblemJoins.keepCompleteTiles(members, segments, tilesDim,
+        .join(problems, Seq("link_id"), "left_semi")
+      ProblemJoins.keepCompleteTiles(members, segments,
           areas.map(_.rect), areas.map(_.mapId.toLong))
         .write.mode("overwrite").parquet(s"$outDir/link_tiles.parquet")
       // per-partition lineage of the phase artifact (read-back, so the

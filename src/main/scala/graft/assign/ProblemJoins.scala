@@ -1,13 +1,17 @@
 package graft.assign
 
+import graft.functions.{ProbeRectExpr, ProbeTilesExpr}
 import graft.geo.TileRect
+import graft.index.TileIndex
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
  * Joins for border-crossing ("problem") linked structures — the
- * reference's MultiTileProcessor machinery re-expressed as broadcast
- * theta-joins with integer-exact geometric predicates:
+ * reference's MultiTileProcessor machinery re-expressed as
+ * cell-bucketed broadcast probes with integer-exact geometric
+ * predicates:
  *
  *  - J4: link-bbox x tile-rect intersection join
  *    (`MultiTileProcessor.checkBoundingBox:596-608`)
@@ -16,11 +20,29 @@ import org.apache.spark.sql.functions._
  *  - J8: recursive membership closure over link->link references
  *    (`MultiTileProcessor.markProblemMembers:298-350`)
  *
- * All predicates are pure 64-bit integer arithmetic on map units
- * (cross products bounded by 2^50), so they evaluate identically in
- * any engine and stay inside whole-stage codegen.
+ * The spatial joins probe the broadcast [[TileIndex]] grid for the
+ * candidate tiles of the cells each row's bbox/segment covers
+ * (reference `AreaGrid.java:213-233`) instead of evaluating the
+ * predicate against every tile in a BroadcastNestedLoopJoin — per-row
+ * cost follows cell occupancy, not the tile count, which is what
+ * survives a 10^4-tile planet split. All residual predicates are pure
+ * 64-bit integer arithmetic on map units (cross products bounded by
+ * 2^50), so they evaluate identically in any engine; the probe is a
+ * codegen'd expression, so the whole join stays inside one
+ * WholeStageCodegen + Generate span with no join operator at all.
  */
 object ProblemJoins {
+
+  /** Broadcast probe index over solved tiles (no overlap padding —
+    * these joins run on the exact tile rects). */
+  def tileIndexBroadcast(df: DataFrame,
+                         tileRects: Seq[TileRect]): Broadcast[TileIndex] =
+    df.sparkSession.sparkContext.broadcast(new TileIndex(tileRects.toArray, 0))
+
+  /** Tile position -> map id, as a literal lookup (1-based
+    * element_at; positions come from the probe, always in range). */
+  private def mapIdAt(mapIds: Seq[Long], pos: Column): Column =
+    element_at(array(mapIds.map(lit): _*), pos + 1)
 
   /** Per-link bounding box from member point coordinates:
     * (link_id, min_lat, min_lon, max_lat, max_lon). */
@@ -30,22 +52,29 @@ object ProblemJoins {
       max(col("lat_mu")).as("max_lat"), max(col("lon_mu")).as("max_lon"))
 
   /** Closed rect-rect intersection predicate (shared edges count,
-    * matching the engine's closed-boundary semantics). */
+    * matching the engine's closed-boundary semantics). The Column
+    * form is the executable definition [[TileIndex.probeRect]] is
+    * property-tested against. */
   def rectIntersects(aMinLat: Column, aMinLon: Column, aMaxLat: Column, aMaxLon: Column,
                      bMinLat: Column, bMinLon: Column, bMaxLat: Column, bMaxLon: Column): Column =
     aMinLat <= bMaxLat && aMaxLat >= bMinLat &&
       aMinLon <= bMaxLon && aMaxLon >= bMinLon
 
-  /** J4: every (link, tile) pair whose bbox intersects the (padded)
-    * tile rect. `tiles` is a small dimension — broadcast nested-loop
-    * with the residual predicate, the canonical plan for an interval
-    * join against a bounded build side. */
-  def bboxTileJoin(bboxes: DataFrame, tiles: DataFrame): DataFrame =
-    bboxes.join(broadcast(tiles),
-      rectIntersects(
-        col("min_lat"), col("min_lon"), col("max_lat"), col("max_lon"),
-        col("t_min_lat"), col("t_min_lon"), col("t_max_lat"), col("t_max_lon")))
-      .select(col("link_id"), col("map_id"))
+  /** J4: every (link, tile) pair whose bbox intersects the tile rect.
+    * Cell-bucketed probe + explode — no join operator, no per-row
+    * scan of the tile dimension. */
+  def bboxTileJoin(bboxes: DataFrame, tileRects: Seq[TileRect],
+                   mapIds: Seq[Long]): DataFrame =
+    bboxTileJoin(bboxes, tileIndexBroadcast(bboxes, tileRects), mapIds)
+
+  private[graft] def bboxTileJoin(bboxes: DataFrame, bc: Broadcast[TileIndex],
+                                  mapIds: Seq[Long]): DataFrame =
+    bboxes.select(col("link_id"),
+        explode(ProbeRectExpr.probeRectTiles(
+          col("min_lat").cast("int"), col("min_lon").cast("int"),
+          col("max_lat").cast("int"), col("max_lon").cast("int"), bc))
+          .as("tpos"))
+      .select(col("link_id"), mapIdAt(mapIds, col("tpos")).as("map_id"))
 
   /**
    * Closed-rect x segment intersection, exact in integers:
@@ -73,12 +102,22 @@ object ProblemJoins {
 
   /** J5: (segment, tile) crossing pairs. `segments` columns:
     * link_id, x1, y1, x2, y2 (consecutive member points, order
-    * preserved from the member array — the span-order invariant). */
-  def segmentTileJoin(segments: DataFrame, tiles: DataFrame): DataFrame =
-    segments.join(broadcast(tiles),
-      segmentIntersectsRect(col("x1"), col("y1"), col("x2"), col("y2"),
-        col("t_min_lat"), col("t_min_lon"), col("t_max_lat"), col("t_max_lon")))
-      .select(col("link_id"), col("map_id")).distinct()
+    * preserved from the member array — the span-order invariant).
+    * Candidates come from the cells the segment's bbox covers; the
+    * index applies the exact crossing residual. */
+  def segmentTileJoin(segments: DataFrame, tileRects: Seq[TileRect],
+                      mapIds: Seq[Long]): DataFrame =
+    segmentTileJoin(segments, tileIndexBroadcast(segments, tileRects), mapIds)
+
+  private[graft] def segmentTileJoin(segments: DataFrame,
+                                     bc: Broadcast[TileIndex],
+                                     mapIds: Seq[Long]): DataFrame =
+    segments.select(col("link_id"),
+        explode(ProbeRectExpr.probeSegmentTiles(
+          col("x1").cast("int"), col("y1").cast("int"),
+          col("x2").cast("int"), col("y2").cast("int"), bc)).as("tpos"))
+      .select(col("link_id"), mapIdAt(mapIds, col("tpos")).as("map_id"))
+      .distinct()
 
   /**
    * O6: tile combinations whose union is an exact rectangle ("simple
@@ -145,22 +184,33 @@ object ProblemJoins {
    * link through the full segment join.
    */
   def keepCompleteTiles(members: DataFrame, segments: DataFrame,
-                        tilesDim: DataFrame, tileRects: Seq[TileRect],
+                        tileRects: Seq[TileRect],
                         mapIds: Seq[Long]): DataFrame = {
-    val memberTiles = memberTileJoin(members, tilesDim)
+    val bc = tileIndexBroadcast(members, tileRects)
+    val memberTiles = memberTileJoin(members, bc, mapIds)
     val elidable = elidableLinks(members, memberTiles, tileRects, mapIds)
     val crossed = segmentTileJoin(
-      segments.join(broadcast(elidable), Seq("link_id"), "left_anti"), tilesDim)
+      segments.join(broadcast(elidable), Seq("link_id"), "left_anti"),
+      bc, mapIds)
     memberTiles.select("link_id", "map_id").unionByName(crossed).distinct()
   }
 
   /** J2 point-in-tile containment join, keeping doc_id for the
-    * all-members-matched check. */
-  def memberTileJoin(members: DataFrame, tilesDim: DataFrame): DataFrame =
-    members.join(broadcast(tilesDim),
-        col("lat_mu") >= col("t_min_lat") && col("lat_mu") <= col("t_max_lat") &&
-          col("lon_mu") >= col("t_min_lon") && col("lon_mu") <= col("t_max_lon"))
-      .select(col("link_id"), col("doc_id"), col("map_id"))
+    * all-members-matched check — the same zero-shuffle codegen'd
+    * point probe the J1 assignment path uses. */
+  def memberTileJoin(members: DataFrame, tileRects: Seq[TileRect],
+                     mapIds: Seq[Long]): DataFrame =
+    memberTileJoin(members, tileIndexBroadcast(members, tileRects), mapIds)
+
+  private[graft] def memberTileJoin(members: DataFrame,
+                                    bc: Broadcast[TileIndex],
+                                    mapIds: Seq[Long]): DataFrame =
+    members.select(col("link_id"), col("doc_id"),
+        explode(ProbeTilesExpr.probeTiles(
+          col("lat_mu").cast("int"), col("lon_mu").cast("int"), bc,
+          nearestFallback = false)).as("tpos"))
+      .select(col("link_id"), col("doc_id"),
+        mapIdAt(mapIds, col("tpos")).as("map_id"))
 
   /** Links whose segment join can be elided (O6): every member point
     * matched at least one tile AND the matched tile set is a
@@ -191,31 +241,33 @@ object ProblemJoins {
    * not a driver walk.
    */
   def membershipClosure(edges: DataFrame, maxDepth: Int = 15): DataFrame = {
-    // Each round: frontier ⋈ edges, then anti-join against what is
-    // already known — never exceptAll over the whole closure — and
-    // localCheckpoint the (small) per-round delta so lineage stays
-    // flat across rounds. The closure itself is only materialized as
-    // the union of checkpointed deltas, so no round rewrites it.
+    // Each round: frontier ⋈ edges, then anti-join against the RUNNING
+    // checkpointed closure — never exceptAll, never a re-union of
+    // per-round deltas (which would rebuild the union plan every
+    // round). Both the per-round delta and the updated closure are
+    // localCheckpointed, so lineage stays flat and each round's
+    // anti-join reads one materialized frame.
     val e = edges.select(col("parent_id"), col("child_id"))
       .localCheckpoint(true)
-    val first = e
+    var known = e
       .select(col("parent_id").as("root_id"), col("child_id").as("leaf_id"))
       .distinct().localCheckpoint(true)
-    val deltas = scala.collection.mutable.ArrayBuffer(first)
-    var frontier = first
+    var frontier = known
     var depth = 1
     while (depth < maxDepth && !frontier.isEmpty) {
       val next = frontier
         .join(e.withColumnRenamed("parent_id", "leaf_id"), "leaf_id")
         .select(col("root_id"), col("child_id").as("leaf_id"))
         .distinct()
-      val known = deltas.reduce(_ unionByName _)
       val newPairs = next
         .join(known, Seq("root_id", "leaf_id"), "left_anti")
         .localCheckpoint(true)
       frontier = newPairs
-      if (!newPairs.isEmpty) { deltas += newPairs; depth += 1 }
+      if (!newPairs.isEmpty) {
+        known = known.unionByName(newPairs).localCheckpoint(true)
+        depth += 1
+      }
     }
-    deltas.reduce(_ unionByName _)
+    known
   }
 }

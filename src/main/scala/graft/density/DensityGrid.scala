@@ -35,6 +35,11 @@ final class DensityGrid(val bounds: TileRect, val resolution: Int) {
     if (c == null) 0 else c(y)
   }
 
+  /** Backing column array (null = empty column). Read-only view for
+    * bulk consumers ([[graft.solver.SolverGrid]] prefix builds) —
+    * callers must not mutate. */
+  private[graft] def columnOrNull(x: Int): Array[Int] = cols(x)
+
   /** Add `n` points to grid cell (x, y). */
   def addToCell(x: Int, y: Int, n: Int): Unit = {
     require(x >= 0 && x < width && y >= 0 && y < height, s"cell ($x,$y) outside ${width}x$height")

@@ -46,6 +46,67 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
     if (hit.nonEmpty) hit else Array(nearestTile(lat, lon))
   }
 
+  /**
+   * Tile ids whose (extended) rect intersects the closed query rect,
+   * ascending — the J4 bbox-join probe. Candidates come from the grid
+   * cells the query rect covers (cell-bucketing, reference
+   * `AreaGrid.java:213-233` consumed by
+   * `MultiTileProcessor.checkBoundingBox:596-608`); the exact closed
+   * rect-intersection test then filters, so the result equals a scan
+   * over all tiles at a fraction of the cost.
+   */
+  def probeRect(minLat: Int, minLon: Int, maxLat: Int, maxLon: Int): Array[Int] = {
+    val cand = root.candidatesInRect(minLat, minLon, maxLat, maxLon)
+    filterSortedCandidates(cand, { i =>
+      val e = extended(i)
+      e.minLat <= maxLat && e.maxLat >= minLat &&
+        e.minLon <= maxLon && e.maxLon >= minLon
+    })
+  }
+
+  /**
+   * Tile ids whose (extended) rect the closed segment crosses,
+   * ascending — the J5 segment-join probe. Candidates come from the
+   * cells covered by the segment's bounding box; the residual is the
+   * exact integer predicate (bbox overlap AND the rect's corner
+   * cross-products straddle zero), identical to
+   * [[graft.assign.ProblemJoins.segmentIntersectsRect]] (reference
+   * `MultiTileProcessor.addWritersOfCrossedTiles:669-675`).
+   */
+  def probeSegment(x1: Int, y1: Int, x2: Int, y2: Int): Array[Int] = {
+    val cand = root.candidatesInRect(
+      math.min(y1, y2), math.min(x1, x2), math.max(y1, y2), math.max(x1, x2))
+    val dx = (x2 - x1).toLong
+    val dy = (y2 - y1).toLong
+    filterSortedCandidates(cand, { i =>
+      val e = extended(i)
+      val bboxOverlap =
+        math.min(x1, x2) <= e.maxLon && math.max(x1, x2) >= e.minLon &&
+          math.min(y1, y2) <= e.maxLat && math.max(y1, y2) >= e.minLat
+      bboxOverlap && {
+        def cross(cx: Int, cy: Int): Long = dx * (cy - y1) - dy * (cx - x1)
+        val c1 = cross(e.minLon, e.minLat)
+        val c2 = cross(e.minLon, e.maxLat)
+        val c3 = cross(e.maxLon, e.minLat)
+        val c4 = cross(e.maxLon, e.maxLat)
+        math.min(math.min(c1, c2), math.min(c3, c4)) <= 0 &&
+          math.max(math.max(c1, c2), math.max(c3, c4)) >= 0
+      }
+    })
+  }
+
+  private def filterSortedCandidates(cand: Array[Int],
+                                     keep: Int => Boolean): Array[Int] = {
+    val out = new Array[Int](cand.length)
+    var n = 0
+    var i = 0
+    while (i < cand.length) {
+      if (keep(cand(i))) { out(n) = cand(i); n += 1 }
+      i += 1
+    }
+    if (n == cand.length) cand else java.util.Arrays.copyOf(out, n)
+  }
+
   /** Nearest tile by expanding-ring search over the top grid: scan
     * cells ring by ring outward from the probe's cell, tracking the
     * best exact (squared) rect distance, and stop once the next ring
@@ -65,7 +126,7 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
   /** Max rectangle tests any probe can need (diagnostics). */
   def maxCompares: Int = root.maxCompares
 
-  private final class Grid(members: Array[Int], fixedBounds: Option[TileRect],
+  private final class Grid(val members: Array[Int], fixedBounds: Option[TileRect],
                            dim: Int) extends Serializable {
     private val bounds: TileRect = fixedBounds.getOrElse {
       members.map(extended).reduce(_ union _)
@@ -185,6 +246,55 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
       best
     }
 
+    /** Sorted distinct member ids of every cell the closed query rect
+      * covers — a superset of the members intersecting it (each tile
+      * is registered in all cells its extended rect touches, and the
+      * intersection with the query lies in at least one such cell).
+      * Recurses into sub-grids; a rect covering more than
+      * [[TileIndex.MaxProbeCells]] cells falls back to all members of
+      * this grid (still exact after the caller's residual test). */
+    def candidatesInRect(minLat: Int, minLon: Int,
+                         maxLat: Int, maxLon: Int): Array[Int] = {
+      if (maxLat < bounds.minLat || minLat > bounds.maxLat ||
+        maxLon < bounds.minLon || minLon > bounds.maxLon) return EmptyIds
+      val x0 = math.max(0, (minLon - this.minLon) / divLon)
+      val x1 = math.min(dim, math.max(0, (maxLon - this.minLon) / divLon))
+      val y0 = math.max(0, (minLat - this.minLat) / divLat)
+      val y1 = math.min(dim, math.max(0, (maxLat - this.minLat) / divLat))
+      if ((x1 - x0 + 1).toLong * (y1 - y0 + 1) > MaxProbeCells) return members
+      var buf = new Array[Int](16)
+      var n = 0
+      def add(ids: Array[Int]): Unit = if (ids != null) {
+        if (n + ids.length > buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.max(buf.length * 2, n + ids.length))
+        System.arraycopy(ids, 0, buf, n, ids.length)
+        n += ids.length
+      }
+      var cx = x0
+      while (cx <= x1) {
+        var cy = y0
+        while (cy <= y1) {
+          val k = cx * (dim + 1) + cy
+          if (subGrids != null && subGrids(k) != null)
+            add(subGrids(k).candidatesInRect(minLat, minLon, maxLat, maxLon))
+          else add(cellAll(k))
+          cy += 1
+        }
+        cx += 1
+      }
+      if (n == 0) return EmptyIds
+      java.util.Arrays.sort(buf, 0, n)
+      // in-place dedupe of the sorted prefix
+      var w = 1
+      var i = 1
+      while (i < n) {
+        if (buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(buf, w)
+    }
+
     def probe(lat: Int, lon: Int): Array[Int] = {
       if (!bounds.contains(lat, lon)) return EmptyIds
       val cx = (lon - minLon) / divLon
@@ -213,5 +323,8 @@ object TileIndex {
   final val SubDim = 32
   final val MaxTests = 10
   final val MinCellSize = 2048
+  /** Rect probes covering more cells than this fall back to the full
+    * member list (the residual predicate keeps the result exact). */
+  final val MaxProbeCells = 4096
   private val EmptyIds = Array.emptyIntArray
 }

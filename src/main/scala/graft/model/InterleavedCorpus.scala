@@ -43,8 +43,12 @@ object InterleavedCorpus {
       val spanText = when(code <= 5,
         when(length(slice) > 0, slice).otherwise(concat(lit("t"), i.cast("string"))))
         .otherwise("")
+      // md5-derived ref (not xxhash64): the DuckDB oracle reproduces
+      // the exact value, so media queries can be hash-gated end-to-end
       val mediaRef = when(code <= 5, "")
-        .otherwise(concat(lit("m:"), abs(xxhash64(id, i)).cast("string")))
+        .otherwise(concat(lit("m:"), substring(
+          md5(concat(lit("m"), id.cast("string"), lit("_"), i.cast("string"))),
+          1, 16)))
       struct(kind.as("kind"), spanText.as("text"),
         mediaRef.as("media_ref"), i.cast("int").as("offset"))
     })

@@ -290,6 +290,10 @@ object TextDedup {
       .localCheckpoint(true)
     var converged = false
     var round = 0
+    // the frames are checkpointed, so count() scans materialized
+    // partitions — still, the previous round's count is carried over
+    // instead of recounting `edges` every round
+    var edgeCount = edges.count()
     while (!converged && round < maxRounds) {
       // large-star over the symmetric neighbor view
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
@@ -311,14 +315,25 @@ object TextDedup {
         .localCheckpoint(true)
       // set equality = equal cardinality AND next ⊆ edges; the
       // anti-join only runs once the counts agree (late rounds)
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       round += 1
     }
-    edges.select(col("u").as("id"), col("v").as("label"))
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("label")))
       .distinct()
+    // ids whose only pairs were self-pairs are filtered out of the
+    // edge list up front but are still "appearing in a pair": emit
+    // them as their own singleton component, exactly like
+    // [[connectedComponents]] does (empty for id_a < id_b inputs)
+    val selfOnly = pairs.where(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id")).distinct()
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(selfOnly)
   }
 
   /** Distinct character n-gram shingles: (id, gram). */

@@ -142,9 +142,9 @@ object Catalog {
       val p = points(s, dir)
       val assignment = TileAssigner.withTileIds(s, p, col("lat_mu"), col("lon_mu"),
         fixedIndex(0), nearestFallback = false)
-      val links = p.select(expr("doc_id div 5").as("link_id")).distinct()
+      val links = p.select(graft.model.LinkModel.linkIdCol().as("link_id")).distinct()
         .select(col("link_id"),
-          sequence(col("link_id") * 5, col("link_id") * 5 + 4).as("member_ids"))
+          graft.model.LinkModel.memberIdsCol(col("link_id")).as("member_ids"))
       LinkMembership.linkTiles(links, assignment, salted = true)
         .select(col("link_id"),
           size(col("tile_ids")).cast("long").as("n_tiles"),
@@ -163,13 +163,13 @@ object Catalog {
       val p = points(s, dir)
       val assignment = TileAssigner.withTileIds(s, p, col("lat_mu"), col("lon_mu"),
         fixedIndex(0), nearestFallback = false)
-      val links = p.select(expr("doc_id div 5").as("link_id")).distinct()
+      val links = p.select(graft.model.LinkModel.linkIdCol().as("link_id")).distinct()
         .where(graft.assign.RelevanceFilter.relevant(
           graft.assign.RelevanceFilter.relTypeCol(col("link_id")),
           graft.assign.RelevanceFilter.boundaryCol(col("link_id")),
           graft.assign.RelevanceFilter.adminLevelCol(col("link_id"))))
         .select(col("link_id"),
-          sequence(col("link_id") * 5, col("link_id") * 5 + 4).as("member_ids"))
+          graft.model.LinkModel.memberIdsCol(col("link_id")).as("member_ids"))
       LinkMembership.linkTiles(links, assignment, salted = true)
         .select(col("link_id"),
           size(col("tile_ids")).cast("long").as("n_tiles"),
@@ -238,16 +238,16 @@ object Catalog {
     },
 
     "q_problem_links" ->
-      (s"SELECT doc_id // 5 AS link_id, CAST(count(DISTINCT map_id) AS BIGINT) AS n_tiles, " +
+      (s"SELECT ${graft.model.LinkModel.linkIdSql()} AS link_id, CAST(count(DISTINCT map_id) AS BIGINT) AS n_tiles, " +
         "min(map_id) AS min_tile, max(map_id) AS max_tile, " +
         "count(DISTINCT map_id) > 1 AS is_problem " +
-        s"FROM (${assignSql(0)}) GROUP BY doc_id // 5"),
+        s"FROM (${assignSql(0)}) GROUP BY ${graft.model.LinkModel.linkIdSql()}"),
 
     "q_problem_links_tagged" -> {
       val rf = graft.assign.RelevanceFilter
       s"SELECT link_id, CAST(count(DISTINCT map_id) AS BIGINT) AS n_tiles, " +
         "count(DISTINCT map_id) > 1 AS is_problem " +
-        s"FROM (SELECT doc_id // 5 AS link_id, map_id FROM (${assignSql(0)})) " +
+        s"FROM (SELECT ${graft.model.LinkModel.linkIdSql()} AS link_id, map_id FROM (${assignSql(0)})) " +
         s"WHERE ${rf.relevantSql(rf.relTypeSql("link_id"),
           rf.boundarySql("link_id"), rf.adminLevelSql("link_id"))} " +
         "GROUP BY link_id"

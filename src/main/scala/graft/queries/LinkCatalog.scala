@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.assign.ProblemJoins
 import graft.geo.CoordSynthesis
+import graft.model.LinkModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,7 +27,10 @@ object LinkCatalog {
   }
 
   private def members(s: SparkSession, dir: String): DataFrame =
-    points(s, dir).withColumn("link_id", expr("doc_id div 5"))
+    points(s, dir).withColumn("link_id", LinkModel.linkIdCol())
+
+  private val fixedMapIds: Seq[Long] =
+    FixedTiles.rects.indices.map(i => (FixedTiles.StartMapId + i).toLong)
 
   /** Fixed tiles as a dimension DataFrame (t_-prefixed bounds). */
   private def tilesDf(s: SparkSession): DataFrame = {
@@ -48,14 +52,14 @@ object LinkCatalog {
       col("lon_mu").as("x1"), col("lat_mu").as("y1"))
     val p2 = points(s, dir).select(col("doc_id").as("id2"),
       col("lon_mu").as("x2"), col("lat_mu").as("y2"))
-    p1.where(expr("id1 % 5 < 4"))
+    p1.where(LinkModel.segmentStartCol("id1"))
       .join(p2, col("id2") === col("id1") + 1)
-      .select(expr("id1 div 5").as("link_id"),
+      .select(LinkModel.linkIdCol("id1").as("link_id"),
         col("x1"), col("y1"), col("x2"), col("y2"))
   }
 
   private val segmentsSql =
-    "(SELECT p1.doc_id // 5 AS link_id, p1.lon_mu AS x1, p1.lat_mu AS y1, " +
+    s"(SELECT ${LinkModel.linkIdSql("p1.doc_id")} AS link_id, p1.lon_mu AS x1, p1.lat_mu AS y1, " +
       s"p2.lon_mu AS x2, p2.lat_mu AS y2 FROM $ptsSql p1 JOIN $ptsSql p2 " +
       "ON p2.doc_id = p1.doc_id + 1 AND p1.doc_id % 5 < 4)"
 
@@ -63,28 +67,33 @@ object LinkCatalog {
   private def edges(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
     val linkDoc = docs.select(
-      (expr("doc_id div 5") + 1000000L).as("parent_id"),
+      (LinkModel.linkIdCol() + LinkModel.LinkParentOffset).as("parent_id"),
       col("doc_id").as("child_id"))
-    val superLink = docs.select(expr("doc_id div 5").as("l")).distinct()
-      .select((expr("l div 3") + 2000000L).as("parent_id"),
-        (col("l") + 1000000L).as("child_id"))
+    val superLink = docs.select(LinkModel.linkIdCol().as("l")).distinct()
+      .select((LinkModel.superIdCol("l") + LinkModel.SuperParentOffset).as("parent_id"),
+        (col("l") + LinkModel.LinkParentOffset).as("child_id"))
     linkDoc.unionByName(superLink)
   }
 
   private val edgesSql =
-    "(SELECT doc_id // 5 + 1000000 AS parent_id, doc_id AS child_id FROM documents " +
+    s"(SELECT ${LinkModel.linkIdSql()} + ${LinkModel.LinkParentOffset} AS parent_id, " +
+      "doc_id AS child_id FROM documents " +
       "UNION ALL " +
-      "SELECT DISTINCT (doc_id // 5) // 3 + 2000000, doc_id // 5 + 1000000 FROM documents)"
+      s"SELECT DISTINCT (${LinkModel.linkIdSql()}) // ${LinkModel.LinksPerSuper} + " +
+      s"${LinkModel.SuperParentOffset}, " +
+      s"${LinkModel.linkIdSql()} + ${LinkModel.LinkParentOffset} FROM documents)"
 
   val queries: Map[String, Query] = Map(
     "q_link_bbox" -> ((s, dir) => ProblemJoins.linkBboxes(members(s, dir))),
 
     "q_bbox_tile_join" -> ((s, dir) =>
       ProblemJoins.bboxTileJoin(
-        ProblemJoins.linkBboxes(members(s, dir)), tilesDf(s))),
+        ProblemJoins.linkBboxes(members(s, dir)), FixedTiles.rects,
+        fixedMapIds)),
 
     "q_segment_cross" -> ((s, dir) =>
-      ProblemJoins.segmentTileJoin(segments(s, dir), tilesDf(s))),
+      ProblemJoins.segmentTileJoin(segments(s, dir), FixedTiles.rects,
+        fixedMapIds)),
 
     "q_closure" -> ((s, dir) =>
       ProblemJoins.membershipClosure(edges(s, dir))),
@@ -97,8 +106,7 @@ object LinkCatalog {
     // links whose member tiles do NOT form a rectangle
     "q_keep_complete" -> ((s, dir) =>
       ProblemJoins.keepCompleteTiles(
-        members(s, dir), segments(s, dir), tilesDf(s), FixedTiles.rects,
-        FixedTiles.rects.indices.map(i => (FixedTiles.StartMapId + i).toLong))),
+        members(s, dir), segments(s, dir), FixedTiles.rects, fixedMapIds)),
 
     // O6 elision decision itself, oracle-gated: links whose member
     // points all landed in tiles AND whose tile set is a
@@ -109,9 +117,10 @@ object LinkCatalog {
     "q_elidable" -> ((s, dir) =>
       ProblemJoins.elidableLinks(
         members(s, dir),
-        ProblemJoins.memberTileJoin(members(s, dir), tilesDf(s)),
+        ProblemJoins.memberTileJoin(members(s, dir), FixedTiles.rects,
+          fixedMapIds),
         FixedTiles.rects,
-        FixedTiles.rects.indices.map(i => (FixedTiles.StartMapId + i).toLong))),
+        fixedMapIds)),
 
     // J6: tile naming — top-population city inside each tile bbox
     // (reference `AreaList.setAreaNames:272-298`): spatial containment
@@ -137,11 +146,11 @@ object LinkCatalog {
 
   val oracles: Map[String, String] = Map(
     "q_link_bbox" ->
-      ("SELECT doc_id // 5 AS link_id, min(lat_mu) AS min_lat, min(lon_mu) AS min_lon, " +
+      (s"SELECT ${LinkModel.linkIdSql()} AS link_id, min(lat_mu) AS min_lat, min(lon_mu) AS min_lon, " +
         s"max(lat_mu) AS max_lat, max(lon_mu) AS max_lon FROM $ptsSql p GROUP BY 1"),
 
     "q_bbox_tile_join" ->
-      ("WITH bb AS (SELECT doc_id // 5 AS link_id, min(lat_mu) AS min_lat, " +
+      (s"WITH bb AS (SELECT ${LinkModel.linkIdSql()} AS link_id, min(lat_mu) AS min_lat, " +
         "min(lon_mu) AS min_lon, max(lat_mu) AS max_lat, max(lon_mu) AS max_lon " +
         s"FROM $ptsSql p GROUP BY 1) " +
         s"SELECT link_id, CAST(map_id AS BIGINT) AS map_id FROM bb JOIN $tilesSql t ON " +
@@ -175,7 +184,7 @@ object LinkCatalog {
 
     "q_keep_complete" -> {
       val memberSql =
-        s"SELECT p.doc_id // 5 AS link_id, CAST(t.map_id AS BIGINT) AS map_id " +
+        s"SELECT ${LinkModel.linkIdSql("p.doc_id")} AS link_id, CAST(t.map_id AS BIGINT) AS map_id " +
           s"FROM $ptsSql p JOIN $tilesSql t ON " +
           "p.lat_mu BETWEEN t.t_min_lat AND t.t_max_lat AND " +
           "p.lon_mu BETWEEN t.t_min_lon AND t.t_max_lon"
@@ -203,14 +212,14 @@ object LinkCatalog {
       val sets = ProblemJoins.simpleNeighbourSets(FixedTiles.rects).toSeq
         .map(s => s.map(mapIds).toSeq.sorted.mkString("-"))
         .sorted.map(v => s"'$v'").mkString("(", ", ", ")")
-      s"WITH m AS (SELECT p.doc_id // 5 AS link_id, p.doc_id, t.map_id " +
+      s"WITH m AS (SELECT ${LinkModel.linkIdSql("p.doc_id")} AS link_id, p.doc_id, t.map_id " +
         s"FROM $ptsSql p JOIN $tilesSql t ON " +
         "p.lat_mu BETWEEN t.t_min_lat AND t.t_max_lat AND " +
         "p.lon_mu BETWEEN t.t_min_lon AND t.t_max_lon), " +
         "per AS (SELECT link_id, count(DISTINCT doc_id) AS n_matched, " +
         "array_to_string(list_sort(list(DISTINCT map_id)), '-') AS tset " +
         "FROM m GROUP BY link_id), " +
-        s"tot AS (SELECT doc_id // 5 AS link_id, " +
+        s"tot AS (SELECT ${LinkModel.linkIdSql()} AS link_id, " +
         s"count(DISTINCT doc_id) AS n_members FROM $ptsSql p GROUP BY 1) " +
         "SELECT per.link_id FROM per JOIN tot ON per.link_id = tot.link_id " +
         s"WHERE n_matched = n_members AND tset IN $sets"

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ops.{Similarity, TextAnalysis, TextDedup}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -195,15 +195,48 @@ object OpsCatalog {
         .agg(round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
           round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"))),
 
+    // approx-percentile twin of q_percentile — the 100 TB calibration
+    // path (Spark's GK sketch: bounded memory per group, rank error
+    // <= n/accuracy; the exact `percentile` buffers per-group value
+    // counts and stays the small-scale oracle baseline). The sketch's
+    // result is not bit-reproducible across engines, so the QUERY
+    // asserts its own contract: for each source it emits the exact
+    // rank window check (#values-below vs n*p within n/accuracy + 2),
+    // which the oracle pins to TRUE — a hash-gated accuracy bound, not
+    // a hash-gated sketch
+    "q_percentile_approx" -> ((s, dir) => {
+      val acc = 100 // coarse on purpose: the sketch must actually approximate
+      val toks = docs(s, dir).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val approx = toks.groupBy("source").agg(
+        expr(s"approx_percentile(n_tokens, 0.5, $acc)").as("a50"),
+        expr(s"approx_percentile(n_tokens, 0.9, $acc)").as("a90"),
+        count(lit(1)).as("n"))
+      val ranks = toks.join(approx, "source").groupBy("source").agg(
+        max(col("n")).as("n"),
+        sum(when(col("n_tokens") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("n_tokens") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("n_tokens") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("n_tokens") < col("a90"), 1L).otherwise(0L)).as("lt90"))
+      def okAt(p: Double, le: Column, lt: Column): Column = {
+        val bound = col("n").cast("double") / acc + 2.0
+        (le.cast("double") >= col("n") * p - bound) &&
+          (lt.cast("double") + 1.0 <= col("n") * p + bound)
+      }
+      ranks.select(col("source"), col("n"),
+        okAt(0.5, col("le50"), col("lt50")).as("ok_p50"),
+        okAt(0.9, col("le90"), col("lt90")).as("ok_p90"))
+    }),
+
     "q_quality_metrics" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(docs(s, dir), Stopwords)),
 
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir), 5)),
 
-    // multimodal plumbing over the interleaved corpus; the spans are
-    // built with xxhash64 (not reproducible in the oracle engine), so
-    // these two get the rows-only check — their values are pinned by
-    // MultimodalSpec instead
+    // multimodal plumbing over the interleaved corpus — md5-derived
+    // refs and payloads, so the oracle reconstructs the full decode
+    // (spans -> refs -> payload bytes -> stub dimensions) and both
+    // queries are hash-gated like every other
     "q_media_extract" -> ((s, dir) =>
       graft.ops.Multimodal.extract(
         graft.model.InterleavedCorpus.fromFlatDocuments(docs(s, dir))).toDF()),
@@ -431,6 +464,38 @@ object OpsCatalog {
       "SELECT t.doc_id, (n_total - n_distinct) * 1000000 // n_total AS rep_ppm " +
       "FROM t JOIN d ON t.doc_id = d.doc_id"
 
+  // ---- media oracle: reconstruct spans arithmetically (id%7+1 spans,
+  // 10-way kind code), md5-derived refs, payload byte k = hex pair k of
+  // md5(ref), then the exact stub-decode formulas of Multimodal
+  private val mediaSpanSql: String =
+    "(SELECT doc_id AS nid, CAST(g.i AS INTEGER) AS i, " +
+      "(doc_id * 31 + g.i * 17) % 10 AS code " +
+      "FROM documents, generate_series(0, 6) g(i) WHERE g.i <= doc_id % 7)"
+
+  private def u8(k: Int): String =
+    s"CAST(('0x' || substr(h, ${2 * k + 1}, 2)) AS INTEGER)"
+
+  private def mediaDecodedSql: String =
+    s"WITH sp AS $mediaSpanSql, " +
+      "m AS (SELECT nid, i, " +
+      "CASE WHEN code <= 7 THEN 'image' WHEN code = 8 THEN 'audio' ELSE 'video' END AS kind, " +
+      "'m:' || substr(md5('m' || CAST(nid AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 16) AS media_ref " +
+      "FROM sp WHERE code > 5), " +
+      "d AS (SELECT nid, i, kind, media_ref, md5(media_ref) AS h FROM m) " +
+      "SELECT printf('d%012d', nid) AS doc_id, media_ref, kind, i AS offset, " +
+      s"CAST(CASE WHEN kind = 'image' THEN 160 + (${u8(0)} * 256 + ${u8(1)}) % 1760 " +
+      s"WHEN kind = 'video' THEN 320 + ${u8(0)} % 1600 ELSE 0 END AS INTEGER) AS width, " +
+      s"CAST(CASE WHEN kind = 'image' THEN 120 + (${u8(2)} * 256 + ${u8(3)}) % 1000 " +
+      s"WHEN kind = 'video' THEN 240 + ${u8(1)} * 4 ELSE 0 END AS INTEGER) AS height, " +
+      s"CAST(CASE WHEN kind = 'image' THEN 1 " +
+      s"WHEN kind = 'video' THEN 25 * (1 + ${u8(4)} % 240) ELSE 0 END AS INTEGER) AS n_frames, " +
+      s"CAST(CASE WHEN kind = 'audio' THEN 8000 * (1 + ${u8(5)} % 6) ELSE 0 END AS INTEGER) AS sample_rate " +
+      "FROM d"
+
+  private def frameSampleSql: String =
+    s"SELECT doc_id, media_ref, CAST((n_frames - 1) // 25 + 1 AS INTEGER) AS n_sampled " +
+      s"FROM ($mediaDecodedSql) WHERE kind = 'video'"
+
   private def percentileSql: String =
     "SELECT source, round(quantile_cont(n_tokens, 0.5), 6) AS p50, " +
       "round(quantile_cont(n_tokens, 0.9), 6) AS p90 FROM " +
@@ -442,6 +507,9 @@ object OpsCatalog {
     "q_vocab" -> vocabSql,
     "q_repetition" -> repetitionSql,
     "q_percentile" -> percentileSql,
+    "q_percentile_approx" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n, " +
+        "TRUE AS ok_p50, TRUE AS ok_p90 FROM documents GROUP BY source"),
     "q_minhash" -> minhashSelectSql,
     "q_lsh_pairs" -> bandJoinSql,
     "q_dedup_near" -> dedupNearSql,
@@ -459,5 +527,7 @@ object OpsCatalog {
     "q_embed_dup_lsh" -> embedDupLshSql,
     "q_langid" -> langIdSql,
     "q_quality_metrics" -> qualitySql,
-    "q_fingerprint" -> fingerprintSql)
+    "q_fingerprint" -> fingerprintSql,
+    "q_media_extract" -> mediaDecodedSql,
+    "q_frame_sample" -> frameSampleSql)
 }

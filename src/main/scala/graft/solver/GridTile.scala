@@ -14,40 +14,13 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
   def maxX: Int = x + width
   def maxY: Int = y + height
 
-  /** Sum of the counts in tile-relative row `r` (0 .. height-1). */
-  def rowSum(r: Int): Long = {
-    val vec = g.row(y + r)
-    if (vec == null) 0L
-    else {
-      var sum = 0L
-      var i = x
-      val end = x + width
-      while (i < end) { sum += vec(i); i += 1 }
-      sum
-    }
-  }
+  /** Sum of the counts in tile-relative row `r` (0 .. height-1) —
+    * O(1) via the grid's row prefix sums. */
+  def rowSum(r: Int): Long = g.rowRangeSum(y + r, x, x + width)
 
-  /** Sum of the counts in tile-relative column `c` (0 .. width-1). */
-  def colSum(c: Int): Long = {
-    val vec = g.col(x + c)
-    if (vec == null) 0L
-    else {
-      var sum = 0L
-      var i = y
-      val end = y + height
-      while (i < end) { sum += vec(i); i += 1 }
-      sum
-    }
-  }
-
-  private def rowSumCached(r: Int, memo: Array[Long]): Long = {
-    if (memo(r) < 0) memo(r) = rowSum(r)
-    memo(r)
-  }
-  private def colSumCached(c: Int, memo: Array[Long]): Long = {
-    if (memo(c) < 0) memo(c) = colSum(c)
-    memo(c)
-  }
+  /** Sum of the counts in tile-relative column `c` (0 .. width-1) —
+    * O(1) via the grid's column prefix sums. */
+  def colSum(c: Int): Long = g.colRangeSum(x + c, y, y + height)
 
   def recount(): Long = {
     var sum = 0L
@@ -75,7 +48,7 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
       var done = false
       while (!done && pos <= width) {
         lastSum = sum
-        sum += colSumCached(pos, m.colSums)
+        sum += colSum(pos)
         if (sum != 0) {
           if (lastSum <= 0) m.firstNonZeroX = pos
           if (sum > target) {
@@ -101,7 +74,7 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
       var done = false
       while (!done && pos <= height) {
         lastSum = sum
-        sum += rowSumCached(pos, m.rowSums)
+        sum += rowSum(pos)
         if (sum != 0) {
           if (lastSum <= 0) m.firstNonZeroY = pos
           if (sum > target) {
@@ -124,7 +97,7 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
     var sum = 0L
     var i = math.max(m.firstNonZeroX, 0)
     while (i < width) {
-      sum += colSumCached(i, m.colSums)
+      sum += colSum(i)
       if (sum != 0) {
         if (m.firstNonZeroX < 0) m.firstNonZeroX = i
         if (sum >= m.minNodes) { m.validStartX = i + 1; return i + 1 }
@@ -142,7 +115,7 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
       var sum = 0L
       var done = false
       while (!done && i >= 0) {
-        sum += colSumCached(i, m.colSums)
+        sum += colSum(i)
         if (sum > 0 && m.lastNonZeroX < 0) m.lastNonZeroX = i
         if (sum >= m.minNodes) { m.validEndX = i; done = true }
         i -= 1
@@ -156,7 +129,7 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
     var sum = 0L
     var i = math.max(m.firstNonZeroY, 0)
     while (i < height) {
-      sum += rowSumCached(i, m.rowSums)
+      sum += rowSum(i)
       if (sum != 0) {
         if (m.firstNonZeroY < 0) m.firstNonZeroY = i
         if (sum >= m.minNodes) { m.validStartY = i + 1; return i + 1 }
@@ -173,7 +146,7 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
       var sum = 0L
       var done = false
       while (!done && i >= 0) {
-        sum += rowSumCached(i, m.rowSums)
+        sum += rowSum(i)
         if (sum > 0 && m.lastNonZeroY < 0) m.lastNonZeroY = i
         if (sum >= m.minNodes) { m.validEndY = i; done = true }
         i -= 1
@@ -188,7 +161,7 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
     var sum = 0L
     var i = math.max(m.firstNonZeroX, 0)
     while (i < width) {
-      sum += colSumCached(i, m.colSums)
+      sum += colSum(i)
       if (sum != 0) {
         if (m.firstNonZeroX < 0) m.firstNonZeroX = i
         if (sum > limit) return i
@@ -202,7 +175,7 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
     var sum = 0L
     var i = math.max(m.firstNonZeroY, 0)
     while (i < height) {
-      sum += rowSumCached(i, m.rowSums)
+      sum += rowSum(i)
       if (sum != 0) {
         if (m.firstNonZeroY < 0) m.firstNonZeroY = i
         if (sum > limit) return i
@@ -222,11 +195,11 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
     var sum = 0L
     if (splitX <= width / 2) {
       var pos = math.max(m.firstNonZeroX, 0)
-      while (pos < splitX) { sum += colSumCached(pos, m.colSums); pos += 1 }
+      while (pos < splitX) { sum += colSum(pos); pos += 1 }
     } else {
       val end = if (m.lastNonZeroX > 0) m.lastNonZeroX + 1 else width
       var pos = splitX
-      while (pos < end) { sum += colSumCached(pos, m.colSums); pos += 1 }
+      while (pos < end) { sum += colSum(pos); pos += 1 }
       sum = count - sum
     }
     if (sum < m.minNodes || count - sum < m.minNodes) return false
@@ -241,11 +214,11 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
     var sum = 0L
     if (splitY <= height / 2) {
       var pos = math.max(m.firstNonZeroY, 0)
-      while (pos < splitY) { sum += rowSumCached(pos, m.rowSums); pos += 1 }
+      while (pos < splitY) { sum += rowSum(pos); pos += 1 }
     } else {
       val end = if (m.lastNonZeroY > 0) m.lastNonZeroY + 1 else height
       var pos = splitY
-      while (pos < end) { sum += rowSumCached(pos, m.rowSums); pos += 1 }
+      while (pos < end) { sum += rowSum(pos); pos += 1 }
       sum = count - sum
     }
     if (sum < m.minNodes || count - sum < m.minNodes) return false
@@ -375,14 +348,17 @@ object GridTile {
 }
 
 /**
- * Mutable per-tile search state: memoized row/column sums and split
- * landmarks, copied parent-to-child when an axis is shared so repeated
- * scans are avoided (reference `solver/TileMetaInfo.java:23-302`).
+ * Mutable per-tile search state: split landmarks inherited
+ * parent-to-child when an axis is shared so repeated scans are
+ * avoided (reference `solver/TileMetaInfo.java:23-302`). The
+ * reference also carries memoized row/column sum ARRAYS here; with
+ * the [[SolverGrid]] prefix sums every row/column sum is already
+ * O(1), so only the scalar landmarks remain — the values each
+ * landmark takes are identical (they are exact functions of the tile
+ * and minNodes), so the search is unchanged.
  */
 final class SplitMeta(tile: GridTile, parent: GridTile, parentMeta: SplitMeta) {
   var minNodes: Long = if (parentMeta != null) parentMeta.minNodes else 0L
-  val rowSums: Array[Long] = new Array[Long](tile.height)
-  val colSums: Array[Long] = new Array[Long](tile.width)
   var part0: GridTile = _
   var part1: GridTile = _
   var validStartX: Int = -1
@@ -397,16 +373,10 @@ final class SplitMeta(tile: GridTile, parent: GridTile, parentMeta: SplitMeta) {
   var vertMidPos: Int = -1
 
   locally {
-    if (parent != null && parent.width == tile.width) {
-      val src = tile.y - parent.y
-      System.arraycopy(parentMeta.rowSums, src, rowSums, 0, rowSums.length)
-      if (src == 0) firstNonZeroY = parentMeta.firstNonZeroY
-    } else java.util.Arrays.fill(rowSums, -1L)
-    if (parent != null && parent.height == tile.height) {
-      val src = tile.x - parent.x
-      System.arraycopy(parentMeta.colSums, src, colSums, 0, colSums.length)
-      if (src == 0) firstNonZeroX = parentMeta.firstNonZeroX
-    } else java.util.Arrays.fill(colSums, -1L)
+    if (parent != null && parent.width == tile.width && tile.y == parent.y)
+      firstNonZeroY = parentMeta.firstNonZeroY
+    if (parent != null && parent.height == tile.height && tile.x == parent.x)
+      firstNonZeroX = parentMeta.firstNonZeroX
   }
 
   def setMinNodes(n: Long): Unit = {
@@ -416,12 +386,11 @@ final class SplitMeta(tile: GridTile, parent: GridTile, parentMeta: SplitMeta) {
     }
   }
 
-  /** Push refreshed sums back up so the sibling benefits (reference
-    * `TileMetaInfo.propagateToParent:203-244`). */
+  /** Push refreshed landmarks back up so the sibling benefits
+    * (reference `TileMetaInfo.propagateToParent:203-244`). */
   def propagateToParent(parentMeta: SplitMeta, tile: GridTile, parent: GridTile): Unit = {
     if (parent.width == tile.width) {
       val dst = tile.y - parent.y
-      System.arraycopy(rowSums, 0, parentMeta.rowSums, dst, rowSums.length)
       if (dst == 0) {
         if (parentMeta.firstNonZeroY < 0 && firstNonZeroY >= 0)
           parentMeta.firstNonZeroY = firstNonZeroY
@@ -436,7 +405,6 @@ final class SplitMeta(tile: GridTile, parent: GridTile, parentMeta: SplitMeta) {
     }
     if (parent.height == tile.height) {
       val dst = tile.x - parent.x
-      System.arraycopy(colSums, 0, parentMeta.colSums, dst, colSums.length)
       if (dst == 0) {
         if (parentMeta.firstNonZeroX < 0 && firstNonZeroX >= 0)
           parentMeta.firstNonZeroX = firstNonZeroX

@@ -63,6 +63,74 @@ class IndexSpec extends AnyFunSuite {
     check(tiles, 0, probes)
   }
 
+  test("probeRect matches the brute-force rect-intersect scan") {
+    val rnd = new Random(31)
+    for (trial <- 0 until 5) {
+      val tiles = Array.fill(30 + rnd.nextInt(60)) {
+        val lat = rnd.nextInt(4000000) - 2000000
+        val lon = rnd.nextInt(8000000) - 4000000
+        TileRect(lat, lon, lat + 1000 + rnd.nextInt(800000), lon + 1000 + rnd.nextInt(800000))
+      }
+      val idx = new TileIndex(tiles, 0)
+      val union = tiles.reduce(_ union _)
+      // query rects: tiny, mid-size, huge (forces the all-members
+      // fallback), fully outside, and exactly a tile's own rect
+      // (shared-edge closed semantics)
+      val rects = Seq.fill(800) {
+        val lat = union.minLat + rnd.nextInt(union.height + 2000000) - 1000000
+        val lon = union.minLon + rnd.nextInt(union.width + 2000000) - 1000000
+        TileRect(lat, lon, lat + rnd.nextInt(3000000), lon + rnd.nextInt(3000000))
+      } ++ tiles.take(10).toSeq ++ Seq(
+        TileRect(union.maxLat + 10, union.maxLon + 10,
+          union.maxLat + 20, union.maxLon + 20),
+        union.extended(1000000))
+      rects.foreach { q =>
+        val got = idx.probeRect(q.minLat, q.minLon, q.maxLat, q.maxLon).toSeq
+        val want = tiles.indices.filter(i => tiles(i).intersects(q))
+        assert(got === want, s"probeRect($q) trial $trial")
+      }
+    }
+  }
+
+  test("probeSegment matches the brute-force crossing scan") {
+    val rnd = new Random(37)
+    def crosses(t: TileRect, x1: Int, y1: Int, x2: Int, y2: Int): Boolean = {
+      val bbox = math.min(x1, x2) <= t.maxLon && math.max(x1, x2) >= t.minLon &&
+        math.min(y1, y2) <= t.maxLat && math.max(y1, y2) >= t.minLat
+      bbox && {
+        val dx = (x2 - x1).toLong
+        val dy = (y2 - y1).toLong
+        def cr(cx: Int, cy: Int): Long = dx * (cy - y1) - dy * (cx - x1)
+        val cs = Seq(cr(t.minLon, t.minLat), cr(t.minLon, t.maxLat),
+          cr(t.maxLon, t.minLat), cr(t.maxLon, t.maxLat))
+        cs.min <= 0 && cs.max >= 0
+      }
+    }
+    for (trial <- 0 until 5) {
+      val tiles = Array.fill(30 + rnd.nextInt(60)) {
+        val lat = rnd.nextInt(4000000) - 2000000
+        val lon = rnd.nextInt(8000000) - 4000000
+        TileRect(lat, lon, lat + 1000 + rnd.nextInt(800000), lon + 1000 + rnd.nextInt(800000))
+      }
+      val idx = new TileIndex(tiles, 0)
+      val union = tiles.reduce(_ union _)
+      // segments: short, long diagonals across many cells, axis-
+      // aligned along shared edges, and degenerate points
+      val segs = Seq.fill(800) {
+        val y1 = union.minLat + rnd.nextInt(union.height + 2000000) - 1000000
+        val x1 = union.minLon + rnd.nextInt(union.width + 2000000) - 1000000
+        (x1, y1, x1 + rnd.nextInt(4000000) - 2000000,
+          y1 + rnd.nextInt(4000000) - 2000000)
+      } ++ tiles.take(10).toSeq.map(t => (t.minLon, t.minLat, t.maxLon, t.minLat)) ++
+        Seq((union.minLon, union.minLat, union.minLon, union.minLat))
+      segs.foreach { case (x1, y1, x2, y2) =>
+        val got = idx.probeSegment(x1, y1, x2, y2).toSeq
+        val want = tiles.indices.filter(i => crosses(tiles(i), x1, y1, x2, y2))
+        assert(got === want, s"probeSegment($x1,$y1,$x2,$y2) trial $trial")
+      }
+    }
+  }
+
   test("ring-search nearest matches the brute-force scan exactly") {
     val rnd = new Random(19)
     for (trial <- 0 until 5) {

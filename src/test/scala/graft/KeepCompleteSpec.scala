@@ -48,6 +48,20 @@ class KeepCompleteSpec extends AnyFunSuite {
   private val mapIds: Seq[Long] =
     FixedTiles.rects.indices.map(i => (FixedTiles.StartMapId + i).toLong)
 
+  // independent reference implementations: the broadcast theta-joins
+  // the cell-bucketed probes replaced — the probe path must produce
+  // exactly these pairs
+  private def naiveMemberTileJoin(m: DataFrame, tiles: DataFrame): DataFrame =
+    m.join(broadcast(tiles),
+        col("lat_mu") >= col("t_min_lat") && col("lat_mu") <= col("t_max_lat") &&
+          col("lon_mu") >= col("t_min_lon") && col("lon_mu") <= col("t_max_lon"))
+      .select(col("link_id"), col("doc_id"), col("map_id"))
+  private def naiveSegmentTileJoin(segs: DataFrame, tiles: DataFrame): DataFrame =
+    segs.join(broadcast(tiles),
+        ProblemJoins.segmentIntersectsRect(col("x1"), col("y1"), col("x2"), col("y2"),
+          col("t_min_lat"), col("t_min_lon"), col("t_max_lat"), col("t_max_lon")))
+      .select(col("link_id"), col("map_id")).distinct()
+
   test("simpleNeighbourSets: exactly the rectangle-forming combos of a 3x2 grid") {
     // grid layout: row 0 = tiles 0,1,2 (south), row 1 = tiles 3,4,5
     val sets = ProblemJoins.simpleNeighbourSets(FixedTiles.rects)
@@ -68,15 +82,18 @@ class KeepCompleteSpec extends AnyFunSuite {
 
   test("elision preserves the keep-complete result and skips >0 links") {
     val elided = ProblemJoins.keepCompleteTiles(
-      members, segments, tilesDf, FixedTiles.rects, mapIds)
-    val naive = ProblemJoins.memberTileJoin(members, tilesDf)
+      members, segments, FixedTiles.rects, mapIds)
+    val naive = naiveMemberTileJoin(members, tilesDf)
       .select(col("link_id"), col("map_id"))
-      .unionByName(ProblemJoins.segmentTileJoin(segments, tilesDf))
+      .unionByName(naiveSegmentTileJoin(segments, tilesDf))
       .distinct()
     assert(elided.exceptAll(naive).isEmpty && naive.exceptAll(elided).isEmpty,
       "O6 elision must not change the keep-complete tile sets")
 
-    val memberTiles = ProblemJoins.memberTileJoin(members, tilesDf)
+    val memberTiles = ProblemJoins.memberTileJoin(members, FixedTiles.rects, mapIds)
+    assert(memberTiles.exceptAll(naiveMemberTileJoin(members, tilesDf)).isEmpty &&
+      naiveMemberTileJoin(members, tilesDf).exceptAll(memberTiles).isEmpty,
+      "probe member join must equal the predicate join")
     val nElidable = ProblemJoins
       .elidableLinks(members, memberTiles, FixedTiles.rects, mapIds)
       .count()
@@ -117,15 +134,19 @@ class KeepCompleteSpec extends AnyFunSuite {
       .filter { case Seq(a, b) => a._4 == b._4; case _ => false }
       .map { case Seq(a, b) => (a._4, a._3, a._2, b._3, b._2) }
       .toDF("link_id", "x1", "y1", "x2", "y2")
-    val elided = ProblemJoins.keepCompleteTiles(members, segs, tiles, grid, ids)
-    val naive = ProblemJoins.memberTileJoin(members, tiles)
+    val elided = ProblemJoins.keepCompleteTiles(members, segs, grid, ids)
+    val naive = naiveMemberTileJoin(members, tiles)
       .select(col("link_id"), col("map_id"))
-      .unionByName(ProblemJoins.segmentTileJoin(segs, tiles))
+      .unionByName(naiveSegmentTileJoin(segs, tiles))
       .distinct()
     assert(elided.exceptAll(naive).isEmpty && naive.exceptAll(elided).isEmpty,
       "boundary-heavy elision must be exact")
+    val segCross = ProblemJoins.segmentTileJoin(segs, grid, ids)
+    assert(segCross.exceptAll(naiveSegmentTileJoin(segs, tiles)).isEmpty &&
+      naiveSegmentTileJoin(segs, tiles).exceptAll(segCross).isEmpty,
+      "probe segment join must equal the predicate join")
     val nElidable = ProblemJoins.elidableLinks(members,
-      ProblemJoins.memberTileJoin(members, tiles), grid, ids).count()
+      ProblemJoins.memberTileJoin(members, grid, ids), grid, ids).count()
     assert(nElidable > 0, "the fixture must exercise the elision path")
   }
 

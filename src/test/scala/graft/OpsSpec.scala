@@ -208,6 +208,40 @@ class OpsSpec extends AnyFunSuite {
       "Lloyd rounds must not degrade the quantization objective")
   }
 
+  test("approx percentile satisfies the exact rank-error bound per source") {
+    // the q_percentile_approx contract, plus a direct approx-vs-exact
+    // delta check: the GK sketch's answer must sit within the
+    // documented rank window of the exact order statistics
+    val ok = graft.queries.OpsCatalog
+      .queries("q_percentile_approx")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(ok.nonEmpty)
+    ok.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"rank bound violated for source ${r.getString(0)} (n=${r.getLong(1)})")
+    }
+    val acc = 100
+    val toks = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val both = toks.groupBy("source").agg(
+      expr(s"approx_percentile(n_tokens, 0.5, $acc)").as("approx"),
+      expr("percentile(n_tokens, 0.5)").as("exact"),
+      count(lit(1)).as("n"),
+      expr("sort_array(collect_list(n_tokens))").as("vals"))
+    both.collect().foreach { r =>
+      val vals = r.getSeq[Long](4)
+      val n = r.getLong(3)
+      val approx = r.getLong(1)
+      // values within the rank window around n/2 (± n/acc + 2)
+      val slack = (n / acc + 2).toInt
+      val lo = math.max(0, (n / 2 - slack).toInt)
+      val hi = math.min(vals.size - 1, (n / 2 + slack).toInt)
+      assert(approx >= vals(lo) && approx <= vals(hi),
+        s"approx p50 $approx outside rank window [${vals(lo)}, ${vals(hi)}] " +
+          s"for source ${r.getString(0)}")
+    }
+  }
+
   test("multimodal: extraction is deterministic, schema-typed, media-only") {
     val corpus = InterleavedCorpus.fromFlatDocuments(docs)
     val decoded = Multimodal.extract(corpus).cache()

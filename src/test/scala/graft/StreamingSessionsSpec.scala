@@ -128,4 +128,54 @@ class StreamingSessionsSpec extends AnyFunSuite {
         s"expected two distinct session ids for user 1, got $got")
     } finally q.stop()
   }
+
+  test("state stays bounded under a stream of unique users (tombstone TTL)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess3").toString
+    val hour = 3600L * 1000
+    def writeFile(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.map { case (u, ts, e) => (u, new java.sql.Timestamp(ts), e) }
+        .toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_id LONG").parquet(dir)
+      .withWatermark("ts", "1 second")
+      .as[StreamingSessions.Event]
+    // 1 h retention: each 10 h batch step expires the previous batch's
+    // tombstones, so state tracks the recently-active users only
+    val q = StreamingSessions.sessionize(stream, gapSeconds = 3600L,
+      tombstoneSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("sess3")
+      .start()
+    try {
+      val batches = 6
+      val usersPerBatch = 10
+      (0 until batches).foreach { k =>
+        writeFile((0 until usersPerBatch).map(u =>
+          (100L + k * usersPerBatch + u, (1000L + k * 10) * hour,
+            1000L * k + u)))
+        q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      val totalUsers = batches * usersPerBatch
+      // without the TTL this is >= totalUsers (one tombstone per user
+      // forever); with it, only the last batch's open sessions and the
+      // previous batch's not-yet-expired tombstones remain
+      assert(stateRows <= 2L * usersPerBatch + 5,
+        s"state must stay bounded by recent activity: $stateRows rows " +
+          s"after $totalUsers unique users")
+
+      // the documented trade-off: a user returning AFTER the retention
+      // horizon restarts numbering at session 1
+      writeFile(Seq((100L, (1000L + batches * 10) * hour, 9999L)))
+      q.processAllAvailable()
+      writeFile(Seq((900L, (1000L + (batches + 2) * 10) * hour, 10000L)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT session_id FROM sess3 WHERE user_id = 100")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 1L),
+        s"past-horizon return must restart numbering, got $ids")
+    } finally q.stop()
+  }
 }
