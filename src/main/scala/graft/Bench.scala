@@ -317,8 +317,12 @@ object Bench {
     val paired = lvlHigh != lvlMid && lvlMid != lvlLow
     val schedule: Seq[(Int, Int)] = // (level, timed runs in the window)
       if (paired) Seq((lvlHigh, runs), (lvlMid, 1), (lvlLow, 1),
-        (lvlMid, 1), (lvlLow, 1))
+        (lvlMid, 1), (lvlLow, 1), (lvlMid, 1), (lvlLow, 1))
       else Seq(lvlHigh, lvlMid, lvlLow).distinct.map(l => (l, runs))
+    // THREE time-separated windows per scaling level (was two): the
+    // per-level minimum over more windows is a tighter estimate of the
+    // uncontended run on this noisy box, and the deadline watchdog
+    // below still trims the tail if the box is slow today
     val windows = scala.collection.mutable.ArrayBuffer.empty[(Int, PipeTiming)]
     val wallByLvl = scala.collection.mutable.HashMap.empty[Int, Double]
     var lastWall = 0.0

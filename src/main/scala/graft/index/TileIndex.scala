@@ -74,8 +74,7 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
    * `MultiTileProcessor.addWritersOfCrossedTiles:669-675`).
    */
   def probeSegment(x1: Int, y1: Int, x2: Int, y2: Int): Array[Int] = {
-    val cand = root.candidatesInRect(
-      math.min(y1, y2), math.min(x1, x2), math.max(y1, y2), math.max(x1, x2))
+    val cand = root.candidatesAlongSegment(x1, y1, x2, y2)
     val dx = (x2 - x1).toLong
     val dy = (y2 - y1).toLong
     filterSortedCandidates(cand, { i =>
@@ -286,6 +285,71 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
       if (n == 0) return EmptyIds
       java.util.Arrays.sort(buf, 0, n)
       // in-place dedupe of the sorted prefix
+      var w = 1
+      var i = 1
+      while (i < n) {
+        if (buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(buf, w)
+    }
+
+    /** Sorted distinct member ids of the cells a segment actually
+      * crosses — the "ring of cells" traversal: per covered cell
+      * COLUMN, only the rows the segment's y-range spans inside that
+      * column's x-slab (padded one map unit against float rounding,
+      * so the cell set is a guaranteed superset of the crossed
+      * cells). A long diagonal visits O(columns + rows) cells instead
+      * of its whole bounding box. Near-vertical or narrow segments
+      * fall back to the bbox walk, which is already tight there. */
+    def candidatesAlongSegment(x1: Int, y1: Int,
+                               x2: Int, y2: Int): Array[Int] = {
+      val sMinLon = math.min(x1, x2)
+      val sMaxLon = math.max(x1, x2)
+      val sMinLat = math.min(y1, y2)
+      val sMaxLat = math.max(y1, y2)
+      if (sMaxLat < bounds.minLat || sMinLat > bounds.maxLat ||
+        sMaxLon < bounds.minLon || sMinLon > bounds.maxLon) return EmptyIds
+      val cx0 = math.max(0, (sMinLon - this.minLon) / divLon)
+      val cx1 = math.min(dim, math.max(0, (sMaxLon - this.minLon) / divLon))
+      if (cx1 - cx0 <= 2 || x1 == x2)
+        return candidatesInRect(sMinLat, sMinLon, sMaxLat, sMaxLon)
+      val slope = (y2 - y1).toDouble / (x2 - x1).toDouble
+      var buf = new Array[Int](16)
+      var n = 0
+      def add(ids: Array[Int]): Unit = if (ids != null) {
+        if (n + ids.length > buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.max(buf.length * 2, n + ids.length))
+        System.arraycopy(ids, 0, buf, n, ids.length)
+        n += ids.length
+      }
+      var cx = cx0
+      while (cx <= cx1) {
+        // closed slab [slabLo, slabHi], clamped to the segment x-range
+        val slabLo = math.max(sMinLon.toDouble, minLon + divLon.toDouble * cx)
+        val slabHi = math.min(sMaxLon.toDouble, minLon + divLon.toDouble * (cx + 1))
+        val ya = y1 + (slabLo - x1) * slope
+        val yb = y1 + (slabHi - x1) * slope
+        // pad one map unit: absorbs double rounding so no crossed
+        // cell can be excluded
+        val yLo = math.max(sMinLat.toDouble, math.min(ya, yb) - 1.0)
+        val yHi = math.min(sMaxLat.toDouble, math.max(ya, yb) + 1.0)
+        val cy0 = math.max(0, ((yLo - minLat) / divLat).toInt)
+        val cy1 = math.min(dim, math.max(0, ((yHi - minLat) / divLat).toInt))
+        var cy = cy0
+        while (cy <= cy1) {
+          val k = cx * (dim + 1) + cy
+          if (subGrids != null && subGrids(k) != null)
+            add(subGrids(k).candidatesInRect(
+              yLo.toInt - 1, slabLo.toInt - 1, yHi.toInt + 1, slabHi.toInt + 1))
+          else add(cellAll(k))
+          cy += 1
+        }
+        cx += 1
+      }
+      if (n == 0) return EmptyIds
+      java.util.Arrays.sort(buf, 0, n)
       var w = 1
       var i = 1
       while (i < n) {

@@ -195,6 +195,42 @@ object OpsCatalog {
         .agg(round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
           round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"))),
 
+    // exact substring duplication across documents (the Lee et al.
+    // "Deduplicating Training Data Makes Language Models Better"
+    // primitive): character 20-grams appearing in more than one doc,
+    // with the doc-id range of the duplication. One explode + one
+    // hash aggregation on the gram — the cost follows duplicated-span
+    // count, never document pairs; at 100 TB the gram rides as an
+    // 8-byte hash and the agg is map-side combined
+    "q_dup_spans" -> ((s, dir) => {
+      val grams = TextDedup.charShingles(
+        docs(s, dir).where(col("doc_id") < 500), 20)
+        .where(length(col("gram")) === 20)
+      grams.groupBy("gram").agg(
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .where(col("n_docs") >= 2)
+    }),
+
+    // benchmark decontamination: training docs sharing any character
+    // 13-gram with a held-out eval set (synthetic: doc_id % 97 == 0)
+    // are flagged with their shared-gram count. Equi-join on the gram
+    // (the eval side is the small broadcast build side), never a
+    // pairwise comparison — the shape used to decontaminate web-scale
+    // corpora against eval suites
+    "q_decontaminate" -> ((s, dir) => {
+      val n = 13
+      val train = docs(s, dir)
+        .where(col("doc_id") % 97 =!= 0 && col("doc_id") < 2000)
+      val benchGrams = TextDedup.charShingles(
+          docs(s, dir).where(col("doc_id") % 97 === 0), n)
+        .select("gram").distinct()
+      TextDedup.charShingles(train, n)
+        .join(benchGrams, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
     // approx-percentile twin of q_percentile — the 100 TB calibration
     // path (Spark's GK sketch: bounded memory per group, rank error
     // <= n/accuracy; the exact `percentile` buffers per-group value
@@ -528,6 +564,18 @@ object OpsCatalog {
     "q_langid" -> langIdSql,
     "q_quality_metrics" -> qualitySql,
     "q_fingerprint" -> fingerprintSql,
+    "q_dup_spans" ->
+      (s"SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        s"FROM ${gramsSql(20, "WHERE doc_id < 500")} g " +
+        "WHERE len(gram) = 20 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2"),
+    "q_decontaminate" ->
+      (s"WITH bench AS (SELECT DISTINCT gram FROM " +
+        s"${gramsSql(13, "WHERE doc_id % 97 = 0")} b), " +
+        s"train AS (SELECT doc_id, gram FROM " +
+        s"${gramsSql(13, "WHERE doc_id % 97 <> 0 AND doc_id < 2000")} t) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
+        "FROM train WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id"),
     "q_media_extract" -> mediaDecodedSql,
     "q_frame_sample" -> frameSampleSql)
 }
