@@ -289,10 +289,12 @@ object Main {
     // out one partition at a time and the handle phase semi-joins
     // against the same checkpointed frame. Only --problem-file input
     // is inherently a (bounded) driver artifact.
+    var fileIdCount = 0L
     val problems: DataFrame = (a.problemFile match {
       case Some(pf) =>
         import spark.implicits._
         val (ways, rels) = AreaWriters.readProblemList(pf)
+        fileIdCount = (ways ++ rels).size.toLong
         // non-numeric ids can name links no corpus doc carries; they
         // round-trip through problem.list but join nothing
         AreaWriters.writeProblemList(
@@ -314,7 +316,9 @@ object Main {
         LinkMembership.problemLinks(linkTiles)
     }).localCheckpoint(true)
     val nProblems = a.problemFile match {
-      case Some(_) => problems.count() // tiny, file-derived
+      // metric counts what the problem.list artifact holds — ALL file
+      // ids, including non-numeric ones that join nothing
+      case Some(_) => fileIdCount
       case None =>
         // stream the sorted list to disk: bounded driver memory at any
         // problem count (same byte format writeProblemList produces,

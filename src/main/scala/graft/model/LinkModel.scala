@@ -38,5 +38,9 @@ object LinkModel {
   /** True for the doc ids that start a (doc, doc+1) segment — every
     * member except the link's last. */
   def segmentStartCol(docCol: String = "doc_id"): Column =
-    expr(s"$docCol % $DocsPerLink < ${DocsPerLink - 1}")
+    expr(segmentStartSql(docCol))
+
+  /** Same predicate as SQL text (valid in Spark SQL and DuckDB). */
+  def segmentStartSql(docExpr: String = "doc_id"): String =
+    s"$docExpr % $DocsPerLink < ${DocsPerLink - 1}"
 }

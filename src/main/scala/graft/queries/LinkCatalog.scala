@@ -61,7 +61,7 @@ object LinkCatalog {
   private val segmentsSql =
     s"(SELECT ${LinkModel.linkIdSql("p1.doc_id")} AS link_id, p1.lon_mu AS x1, p1.lat_mu AS y1, " +
       s"p2.lon_mu AS x2, p2.lat_mu AS y2 FROM $ptsSql p1 JOIN $ptsSql p2 " +
-      "ON p2.doc_id = p1.doc_id + 1 AND p1.doc_id % 5 < 4)"
+      s"ON p2.doc_id = p1.doc_id + 1 AND ${LinkModel.segmentStartSql("p1.doc_id")})"
 
   /** Two-level membership edges: superlink -> link -> doc. */
   private def edges(s: SparkSession, dir: String): DataFrame = {
