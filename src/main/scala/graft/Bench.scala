@@ -37,6 +37,7 @@ import scala.jdk.CollectionConverters._
 object Bench {
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

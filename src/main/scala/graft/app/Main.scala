@@ -379,6 +379,7 @@ object Main {
         sys.exit(1)
       case Right(a) =>
         val spark = SparkSession.builder()
+          .withExtensions(new graft.plans.GraftExtensions)
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
           .config("spark.sql.shuffle.partitions",
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
