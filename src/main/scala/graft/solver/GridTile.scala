@@ -257,20 +257,29 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
   private def colNeeded(c: Int): Boolean =
     if (!g.hasPolygon) colSum(c) > 0
     else {
-      // inside-polygon test: any cell of the column in the polygon
-      var i = 0
-      var in = false
-      while (!in && i < height) { in = g.inPolygon(x + c, y + i); i += 1 }
-      in
+      // inside-polygon test: any cell of the column in the polygon —
+      // O(1) via the polygon prefix counts when available
+      val n = g.polyInsideCount(x + c, y, x + c + 1, y + height)
+      if (n >= 0) n > 0
+      else {
+        var i = 0
+        var in = false
+        while (!in && i < height) { in = g.inPolygon(x + c, y + i); i += 1 }
+        in
+      }
     }
 
   private def rowNeeded(r: Int): Boolean =
     if (!g.hasPolygon) rowSum(r) > 0
     else {
-      var i = 0
-      var in = false
-      while (!in && i < width) { in = g.inPolygon(x + i, y + r); i += 1 }
-      in
+      val n = g.polyInsideCount(x, y + r, x + width, y + r + 1)
+      if (n >= 0) n > 0
+      else {
+        var i = 0
+        var in = false
+        while (!in && i < width) { in = g.inPolygon(x + i, y + r); i += 1 }
+        in
+      }
     }
 
   /** Shrink away empty (or fully-outside-polygon) border rows/columns;
@@ -292,9 +301,12 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
     else GridTile.compute(g, x + lo, y + bo, nw, nh)
   }
 
-  /** True when no cell of the tile is inside the polygon. */
+  /** True when no cell of the tile is inside the polygon — O(1)
+    * rectangle count when the polygon prefix table exists. */
   def outsidePolygon: Boolean = {
     if (!g.hasPolygon) return false
+    val n = g.polyInsideCount(x, y, x + width, y + height)
+    if (n >= 0) return n == 0
     var cx = 0
     while (cx < width) {
       var cy = 0
@@ -308,9 +320,13 @@ final class GridTile(val g: SolverGrid, val x: Int, val y: Int,
   }
 
   /** Fraction of grid cells outside the bounding polygon (0 when no
-    * polygon; reference `Tile.calcOutsidePolygonRatio:582-602`). */
+    * polygon; reference `Tile.calcOutsidePolygonRatio:582-602`) —
+    * O(1) via the prefix rectangle count when available. */
   def outsidePolygonRatio: Double = {
     if (!g.hasPolygon) return 0.0
+    val in = g.polyInsideCount(x, y, x + width, y + height)
+    if (in >= 0)
+      return (width.toLong * height - in).toDouble / (width.toLong * height)
     var outside = 0
     var cx = 0
     while (cx < width) {

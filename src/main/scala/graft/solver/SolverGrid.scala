@@ -158,6 +158,40 @@ final class SolverGrid(val grid: DensityGrid,
     case Some(bits) => bits.get(x * height + y)
   }
 
+  /** 2-D prefix counts of inside-polygon cells:
+    * polyPref((x)*(height+1)+y) = #inside cells in [0,x) x [0,y).
+    * Null when no polygon (or a pathologically large grid, where the
+    * callers fall back to bit scans). Makes every tile-level polygon
+    * question — any inside cell? how many? — an O(1) rectangle count
+    * instead of an O(width*height) BitSet walk per tested tile. */
+  private val polyPref: Array[Int] = polygonCells match {
+    case Some(bits) if (width + 1).toLong * (height + 1) <= Int.MaxValue / 2 =>
+      val stride = height + 1
+      val p = new Array[Int]((width + 1) * stride)
+      var x = 0
+      while (x < width) {
+        var running = 0
+        var y = 0
+        while (y < height) {
+          if (bits.get(x * height + y)) running += 1
+          p((x + 1) * stride + (y + 1)) = p(x * stride + (y + 1)) + running
+          y += 1
+        }
+        x += 1
+      }
+      p
+    case _ => null
+  }
+
+  /** #inside-polygon cells in [x0, x1) x [y0, y1); -1 when the O(1)
+    * prefix table is unavailable (no polygon / oversized grid). */
+  def polyInsideCount(x0: Int, y0: Int, x1: Int, y1: Int): Long = {
+    if (polyPref == null) return -1L
+    val stride = height + 1
+    polyPref(x1 * stride + y1).toLong - polyPref(x0 * stride + y1) -
+      polyPref(x1 * stride + y0) + polyPref(x0 * stride + y0)
+  }
+
   def hasPolygon: Boolean = polygonCells.isDefined
 
   /**
