@@ -231,6 +231,24 @@ object OpsCatalog {
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
     }),
 
+    // cardinality estimation (HyperLogLog++), the dedup/vocab sizing
+    // primitive at 100 TB: approx_count_distinct's sketch isn't
+    // bit-reproducible across engines, so the query gates the
+    // documented error bound instead — the approx per-source token
+    // cardinality must sit within 5 relative standard deviations
+    // (rsd 0.05 -> +-25%) of the exact distinct count, and the oracle
+    // pins that boolean TRUE next to the exact value
+    "q_cardinality" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      toks.groupBy("source").agg(
+          count_distinct(col("tok")).as("n_exact"),
+          approx_count_distinct(col("tok"), 0.05).as("n_approx"))
+        .select(col("source"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") <=
+            col("n_exact").cast("double") * 0.25 + 10.0).as("ok_approx"))
+    }),
+
     // approx-percentile twin of q_percentile — the 100 TB calibration
     // path (Spark's GK sketch: bounded memory per group, rank error
     // <= n/accuracy; the exact `percentile` buffers per-group value
@@ -543,6 +561,10 @@ object OpsCatalog {
     "q_vocab" -> vocabSql,
     "q_repetition" -> repetitionSql,
     "q_percentile" -> percentileSql,
+    "q_cardinality" ->
+      ("SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact, " +
+        "TRUE AS ok_approx FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY source"),
     "q_percentile_approx" ->
       ("SELECT source, CAST(count(*) AS BIGINT) AS n, " +
         "TRUE AS ok_p50, TRUE AS ok_p90 FROM documents GROUP BY source"),
