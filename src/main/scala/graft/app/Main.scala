@@ -294,12 +294,13 @@ object Main {
       case Some(pf) =>
         import spark.implicits._
         val (ways, rels) = AreaWriters.readProblemList(pf)
-        fileIdCount = (ways ++ rels).size.toLong
+        val allIds = ways ++ rels
+        fileIdCount = allIds.size.toLong
         // non-numeric ids can name links no corpus doc carries; they
         // round-trip through problem.list but join nothing
         AreaWriters.writeProblemList(
-          a.problemReport.getOrElse(s"$outDir/problem.list"), ways ++ rels, Nil)
-        (ways ++ rels).flatMap(p => scala.util.Try(p.toLong).toOption)
+          a.problemReport.getOrElse(s"$outDir/problem.list"), allIds, Nil)
+        allIds.flatMap(p => scala.util.Try(p.toLong).toOption)
           .toDF("link_id")
       case None =>
         val allLinks = linksOf(points)

@@ -40,11 +40,11 @@ object H3LiteExpr {
       ColumnBridge.expression(lon.cast("int")), res))
 
   /** SQL registration: `h3lite_encode(lat, lon, res)` usable from
-    * `spark.sql`, resolution as a literal third argument. */
+    * `spark.sql` — delegates to the SAME builder the
+    * [[graft.plans.GraftExtensions]] session extension injects, so
+    * both registration paths accept and reject identical SQL. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "h3lite_encode",
-      exprs => H3LiteEncodeExpr(exprs(0), exprs(1),
-        exprs(2).eval(null).asInstanceOf[Number].intValue()),
+      "h3lite_encode", graft.plans.GraftExtensions.h3liteBuilder,
       "scala_udf")
 }

@@ -125,6 +125,31 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
   /** Max rectangle tests any probe can need (diagnostics). */
   def maxCompares: Int = root.maxCompares
 
+  /** Grow-only id accumulator with a sorted-distinct finish — shared
+    * by the rect and segment candidate walks. */
+  private final class IdCollector {
+    private var buf = new Array[Int](16)
+    private var n = 0
+    def add(ids: Array[Int]): Unit = if (ids != null) {
+      if (n + ids.length > buf.length)
+        buf = java.util.Arrays.copyOf(buf,
+          math.max(buf.length * 2, n + ids.length))
+      System.arraycopy(ids, 0, buf, n, ids.length)
+      n += ids.length
+    }
+    def sortedDistinct(): Array[Int] = {
+      if (n == 0) return EmptyIds
+      java.util.Arrays.sort(buf, 0, n)
+      var w = 1
+      var i = 1
+      while (i < n) {
+        if (buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(buf, w)
+    }
+  }
+
   private final class Grid(val members: Array[Int], fixedBounds: Option[TileRect],
                            dim: Int) extends Serializable {
     private val bounds: TileRect = fixedBounds.getOrElse {
@@ -261,37 +286,20 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
       val y0 = math.max(0, (minLat - this.minLat) / divLat)
       val y1 = math.min(dim, math.max(0, (maxLat - this.minLat) / divLat))
       if ((x1 - x0 + 1).toLong * (y1 - y0 + 1) > MaxProbeCells) return members
-      var buf = new Array[Int](16)
-      var n = 0
-      def add(ids: Array[Int]): Unit = if (ids != null) {
-        if (n + ids.length > buf.length)
-          buf = java.util.Arrays.copyOf(buf,
-            math.max(buf.length * 2, n + ids.length))
-        System.arraycopy(ids, 0, buf, n, ids.length)
-        n += ids.length
-      }
+      val out = new IdCollector
       var cx = x0
       while (cx <= x1) {
         var cy = y0
         while (cy <= y1) {
           val k = cx * (dim + 1) + cy
           if (subGrids != null && subGrids(k) != null)
-            add(subGrids(k).candidatesInRect(minLat, minLon, maxLat, maxLon))
-          else add(cellAll(k))
+            out.add(subGrids(k).candidatesInRect(minLat, minLon, maxLat, maxLon))
+          else out.add(cellAll(k))
           cy += 1
         }
         cx += 1
       }
-      if (n == 0) return EmptyIds
-      java.util.Arrays.sort(buf, 0, n)
-      // in-place dedupe of the sorted prefix
-      var w = 1
-      var i = 1
-      while (i < n) {
-        if (buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
-        i += 1
-      }
-      java.util.Arrays.copyOf(buf, w)
+      out.sortedDistinct()
     }
 
     /** Sorted distinct member ids of the cells a segment actually
@@ -315,15 +323,7 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
       if (cx1 - cx0 <= 2 || x1 == x2)
         return candidatesInRect(sMinLat, sMinLon, sMaxLat, sMaxLon)
       val slope = (y2 - y1).toDouble / (x2 - x1).toDouble
-      var buf = new Array[Int](16)
-      var n = 0
-      def add(ids: Array[Int]): Unit = if (ids != null) {
-        if (n + ids.length > buf.length)
-          buf = java.util.Arrays.copyOf(buf,
-            math.max(buf.length * 2, n + ids.length))
-        System.arraycopy(ids, 0, buf, n, ids.length)
-        n += ids.length
-      }
+      val out = new IdCollector
       var cx = cx0
       while (cx <= cx1) {
         // closed slab [slabLo, slabHi], clamped to the segment x-range
@@ -341,22 +341,14 @@ final class TileIndex(val tiles: Array[TileRect], val overlap: Int)
         while (cy <= cy1) {
           val k = cx * (dim + 1) + cy
           if (subGrids != null && subGrids(k) != null)
-            add(subGrids(k).candidatesInRect(
+            out.add(subGrids(k).candidatesInRect(
               yLo.toInt - 1, slabLo.toInt - 1, yHi.toInt + 1, slabHi.toInt + 1))
-          else add(cellAll(k))
+          else out.add(cellAll(k))
           cy += 1
         }
         cx += 1
       }
-      if (n == 0) return EmptyIds
-      java.util.Arrays.sort(buf, 0, n)
-      var w = 1
-      var i = 1
-      while (i < n) {
-        if (buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
-        i += 1
-      }
-      java.util.Arrays.copyOf(buf, w)
+      out.sortedDistinct()
     }
 
     def probe(lat: Int, lon: Int): Array[Int] = {

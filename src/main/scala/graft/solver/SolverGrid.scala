@@ -165,7 +165,10 @@ final class SolverGrid(val grid: DensityGrid,
     * question — any inside cell? how many? — an O(1) rectangle count
     * instead of an O(width*height) BitSet walk per tested tile. */
   private val polyPref: Array[Int] = polygonCells match {
-    case Some(bits) if (width + 1).toLong * (height + 1) <= Int.MaxValue / 2 =>
+    // cap by MEMORY, not indexability: 2^26 entries = 256 MB, which
+    // covers a whole-world grid to resolution 14; beyond that the
+    // bit-scan fallback costs time, never heap
+    case Some(bits) if (width + 1).toLong * (height + 1) <= (1L << 26) =>
       val stride = height + 1
       val p = new Array[Int]((width + 1) * stride)
       var x = 0
