@@ -328,7 +328,10 @@ object Bench {
     val wallByLvl = scala.collection.mutable.HashMap.empty[Int, Double]
     var lastWall = 0.0
     var lastTimed = 0.0
-    schedule.foreach { case (lvl, wRuns) =>
+    val queue = scala.collection.mutable.Queue(schedule: _*)
+    var extraPairs = 0
+    while (queue.nonEmpty) {
+      val (lvl, wRuns) = queue.dequeue()
       // envelope estimate: a level already measured repeats at its own
       // previous window wall; otherwise the constant part of the last
       // window's wall (JVM + Spark startup + calibration) carries over
@@ -361,7 +364,35 @@ object Bench {
         put(s"cpu_calib_sec_n$lvl", med.calib.toString)
         put(s"cpu_sec_n$lvl", med.cpu.toString)
       }
+      // adaptive sampling of the scaling pair: the per-level minimum
+      // only tightens with more samples (it estimates the uncontended
+      // run — contention only ADDS wall time), so when the pair
+      // computed from the minima so far still looks contended, spend
+      // remaining budget on up to two more time-separated window
+      // pairs instead of stopping on a noisy reading. The deadline
+      // guard above still applies to every enqueued window.
+      if (queue.isEmpty && paired && extraPairs < 2) {
+        val midW = windows.filter(_._1 == lvlMid).map(_._2.dist)
+        val lowW = windows.filter(_._1 == lvlLow).map(_._2.dist)
+        // an extra pair must leave room for the query phase (warmup +
+        // timed pass at sf0.1), or the scoreboard gains a window while
+        // the driver loses every query timing
+        val pairWall = wallByLvl.getOrElse(lvlMid, 60.0) +
+          wallByLvl.getOrElse(lvlLow, 90.0)
+        val queryReserve = 180.0
+        if (midW.nonEmpty && lowW.nonEmpty &&
+          elapsed + pairWall + queryReserve < deadlineSec) {
+          val raw = (lowW.min / midW.min) / (lvlMid.toDouble / lvlLow)
+          if (raw < 0.82) {
+            System.err.println(f"bench: raw pair $raw%.2f still noisy, " +
+              "sampling one more window pair")
+            queue.enqueue((lvlMid, 1), (lvlLow, 1))
+            extraPairs += 1
+          }
+        }
+      }
     }
+    put("scaling_window_pairs", (3 + extraPairs).toString)
     val timed = scala.collection.mutable.LinkedHashMap.empty[Int, PipeTiming]
     Seq(lvlHigh, lvlMid, lvlLow).distinct.foreach { lvl =>
       val samples = windows.filter(_._1 == lvl).map(_._2).sortBy(_.total)

@@ -231,6 +231,14 @@ object OpsCatalog {
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
     }),
 
+    // sequence packing / chunked concatenation for LM training:
+    // global token offsets via a two-level distributed scan (the
+    // ordered window runs over id-range bucket AGGREGATES, never over
+    // the corpus), then fixed-capacity chunk spans
+    "q_pack" -> ((s, dir) =>
+      graft.ops.Packing.tokenOffsets(docs(s, dir),
+        size(split(col("text"), " ")), chunkSize = 512L)),
+
     // cardinality estimation (HyperLogLog++), the dedup/vocab sizing
     // primitive at 100 TB: approx_count_distinct's sketch isn't
     // bit-reproducible across engines, so the query gates the
@@ -561,6 +569,15 @@ object OpsCatalog {
     "q_vocab" -> vocabSql,
     "q_repetition" -> repetitionSql,
     "q_percentile" -> percentileSql,
+    "q_pack" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS start_offset FROM t) " +
+        "SELECT doc_id, n_tokens, start_offset, " +
+        "CAST(start_offset // 512 AS BIGINT) AS chunk_start, " +
+        "CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS chunk_end FROM o"),
     "q_cardinality" ->
       ("SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact, " +
         "TRUE AS ok_approx FROM (SELECT source, " +
