@@ -242,6 +242,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: offsets independent of bucketing, stream-contiguous") {
+    val nTok = size(split(col("text"), " "))
+    val a = graft.ops.Packing.tokenOffsets(docs, nTok, bucketSize = 4096L)
+    val b = graft.ops.Packing.tokenOffsets(docs, nTok, bucketSize = 7L)
+    // the two-level scan is an implementation detail: any bucket width
+    // must yield the identical global offsets
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "token offsets must not depend on the scan's bucket width")
+    // contiguity: sorted by doc_id, each start_offset equals the
+    // previous start_offset + n_tokens (no gaps, no overlaps)
+    val rows = a.orderBy("doc_id").collect()
+    var expected = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) === expected,
+        s"offset gap at doc ${r.getLong(0)}")
+      expected += r.getLong(1)
+    }
+    // chunk spans cover exactly the doc's token range
+    rows.foreach { r =>
+      val (n, start, c0, c1) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c0 === start / 512 && c1 === (start + n - 1) / 512)
+    }
+  }
+
   test("multimodal: extraction is deterministic, schema-typed, media-only") {
     val corpus = InterleavedCorpus.fromFlatDocuments(docs)
     val decoded = Multimodal.extract(corpus).cache()
