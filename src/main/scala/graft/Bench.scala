@@ -392,7 +392,11 @@ object Bench {
         }
       }
     }
-    put("scaling_window_pairs", (3 + extraPairs).toString)
+    // report the pairs that actually RAN (deadline skips and the
+    // unpaired small-CPU case would otherwise be misreported)
+    put("scaling_window_pairs",
+      (if (paired) math.min(windows.count(_._1 == lvlMid),
+        windows.count(_._1 == lvlLow)) else 0).toString)
     val timed = scala.collection.mutable.LinkedHashMap.empty[Int, PipeTiming]
     Seq(lvlHigh, lvlMid, lvlLow).distinct.foreach { lvl =>
       val samples = windows.filter(_._1 == lvl).map(_._2).sortBy(_.total)

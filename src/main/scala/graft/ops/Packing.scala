@@ -24,6 +24,9 @@ object Packing {
   /**
    * Per-doc global token offsets and chunk spans.
    *
+   * @param id        GLOBAL ORDER KEY — must be unique per row;
+   *                  ties would make the within-bucket window order
+   *                  (and therefore the offsets) shuffle-dependent
    * @param nTokens   token count column (cast to long internally)
    * @param chunkSize training-sequence capacity in tokens
    * @param bucketSize id-range bucket width for the two-level scan

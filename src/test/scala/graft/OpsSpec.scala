@@ -259,11 +259,23 @@ class OpsSpec extends AnyFunSuite {
         s"offset gap at doc ${r.getLong(0)}")
       expected += r.getLong(1)
     }
-    // chunk spans cover exactly the doc's token range
-    rows.foreach { r =>
-      val (n, start, c0, c1) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-      assert(c0 === start / 512 && c1 === (start + n - 1) / 512)
-    }
+    // chunk spans against an INDEPENDENT hand-computed fixture —
+    // boundary-straddling, exactly-filling and single-token docs
+    val fix = Seq((0L, "a b c"), (1L, Seq.fill(510)("w").mkString(" ")),
+      (2L, "a b c d e"), (3L, Seq.fill(512)("w").mkString(" ")),
+      (4L, "z")).toDF("doc_id", "text")
+    val got = graft.ops.Packing
+      .tokenOffsets(fix, size(split(col("text"), " ")), bucketSize = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // offsets: 0, 3, 513, 518, 1030; chunks of 512 tokens
+    assert(got === Seq(
+      (0L, 0L, 0L, 0L),      // tokens [0, 3)    -> chunk 0
+      (1L, 3L, 0L, 1L),      // tokens [3, 513)  -> chunks 0..1
+      (2L, 513L, 1L, 1L),    // tokens [513, 518)-> chunk 1
+      (3L, 518L, 1L, 2L),    // tokens [518,1030)-> chunks 1..2
+      (4L, 1030L, 2L, 2L)))  // token 1030       -> chunk 2
   }
 
   test("multimodal: extraction is deterministic, schema-typed, media-only") {
