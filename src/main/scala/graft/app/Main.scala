@@ -19,6 +19,7 @@ final case class SplitterArgs(
     mapid: Int = 63240001,
     description: Option[String] = None,
     maxNodes: Long = 1600000L,
+    maxAreas: Int = 2048,
     numTiles: Option[Int] = None,
     resolution: Int = 13,
     overlap: String = "auto",
@@ -93,6 +94,7 @@ object SplitterArgs {
               KnownOptions.toSeq.sorted.mkString(", "))
           name match {
             case "mapid" => a = a.copy(mapid = value.toInt)
+            case "max-areas" => a = a.copy(maxAreas = value.toInt)
             case "description" => a = a.copy(description = Some(value))
             case "max-nodes" => a = a.copy(maxNodes = value.toLong)
             case "num-tiles" => a = a.copy(numTiles = Some(value.toInt))
@@ -146,6 +148,8 @@ object SplitterArgs {
       return Left("The --handle-element-version parameter must be remove, fake, or keep.")
     if (a.maxNodes < 1)
       return Left("The --max-nodes parameter must be positive.")
+    if (a.maxAreas < 1 || a.maxAreas > 9999)
+      return Left("The --max-areas parameter must be a value between 1 and 9999.")
     Right(a)
   }
 }
@@ -281,6 +285,16 @@ object Main {
     // when --boundary-tags / --wanted-admin-level are given
     // (ProblemListProcessor.java:201-243) and border-crossers are
     // detected via the salted membership aggregation.
+    // --problem-report names the problem-list artifact; the reference
+    // ignores it under --keep-complete=false (Main.java:451-453),
+    // with the same warning wording
+    val reportPath =
+      if (!a.keepComplete) {
+        if (a.problemReport.isDefined)
+          System.err.println("Parameter --problem-report is ignored, " +
+            "because parameter --keep-complete=false is used")
+        s"$outDir/problem.list"
+      } else a.problemReport.getOrElse(s"$outDir/problem.list")
     val index = SplitPipeline.buildIndex(areas, cfg)
     val assignment = TileAssigner.withTileIds(spark, points,
       col("lat_mu"), col("lon_mu"), index, cfg.nearestFallback)
@@ -298,8 +312,7 @@ object Main {
         fileIdCount = allIds.size.toLong
         // non-numeric ids can name links no corpus doc carries; they
         // round-trip through problem.list but join nothing
-        AreaWriters.writeProblemList(
-          a.problemReport.getOrElse(s"$outDir/problem.list"), allIds, Nil)
+        AreaWriters.writeProblemList(reportPath, allIds, Nil)
         allIds.flatMap(p => scala.util.Try(p.toLong).toOption)
           .toDF("link_id")
       case None =>
@@ -324,8 +337,7 @@ object Main {
         // stream the sorted list to disk: bounded driver memory at any
         // problem count (same byte format writeProblemList produces,
         // string-sorted like its Seq[String] path)
-        AreaWriters.writeProblemListStreamed(
-          a.problemReport.getOrElse(s"$outDir/problem.list"), problems)
+        AreaWriters.writeProblemListStreamed(reportPath, problems)
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/metrics.jsonl"),
@@ -366,9 +378,24 @@ object Main {
     if (a.stopAfter == "handle-problem-list") return "handle-problem-list"
 
     // ---- phase: dist (assignment fan-out, partitioned by tile) -----
+    // --max-areas: at most maxAreas tiles are written per pass
+    // (reference Main.java:526, numPasses = ceil(areas / maxAreas)) —
+    // the pass count is a resource knob and MUST NOT change results
+    // (the reference's SolverAndProblemGeneratorTest asserts this
+    // invariance; MainSpec does the same here). Chunks partition the
+    // map_id space, so later passes append disjoint partitions.
     val assigned = TileAssigner.explodeByTile(assignment, a.mapid)
-    TileAssigner.writePartitioned(assigned, s"$outDir/tiles",
-      a.handleElementVersion)
+    val mapIds = areas.map(_.mapId)
+    if (mapIds.size <= a.maxAreas)
+      TileAssigner.writePartitioned(assigned, s"$outDir/tiles",
+        a.handleElementVersion)
+    else
+      mapIds.grouped(a.maxAreas).zipWithIndex.foreach { case (chunk, pass) =>
+        TileAssigner.writePartitioned(
+          assigned.where(col("map_id").isin(chunk.map(Int.box): _*)),
+          s"$outDir/tiles", a.handleElementVersion,
+          mode = if (pass == 0) "overwrite" else "append")
+      }
     SplitPipeline.recordMetrics(assigned, "dist", outDir)
     "dist"
   }

@@ -58,10 +58,11 @@ object TileAssigner {
    * tasks instead of every task appending to every tile.
    */
   def writePartitioned(assigned: DataFrame, outDir: String,
-                       versionPolicy: String = "keep"): Unit =
+                       versionPolicy: String = "keep",
+                       mode: String = "overwrite"): Unit =
     withVersionPolicy(assigned, versionPolicy)
       .repartition(col("map_id"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("map_id")
       .parquet(outDir)
 }

@@ -27,7 +27,11 @@ case class ProbeRectTilesExpr(first: Expression, second: Expression,
   extends QuaternaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = false
+  // nullable derives from the children (the Binary/Quaternary default):
+  // a NULL coordinate yields a NULL array, which the consuming explode
+  // drops — the same fate the replaced join predicate gave such rows.
+  // (A hardcoded false would make codegen skip the child null checks
+  // and probe with default-0 coordinates.)
   override def prettyName: String = "probe_rect_tiles"
 
   override def nullSafeEval(minLat: Any, minLon: Any,
@@ -62,7 +66,11 @@ case class ProbeSegmentTilesExpr(first: Expression, second: Expression,
   extends QuaternaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = false
+  // nullable derives from the children (the Binary/Quaternary default):
+  // a NULL coordinate yields a NULL array, which the consuming explode
+  // drops — the same fate the replaced join predicate gave such rows.
+  // (A hardcoded false would make codegen skip the child null checks
+  // and probe with default-0 coordinates.)
   override def prettyName: String = "probe_segment_tiles"
 
   override def nullSafeEval(x1: Any, y1: Any, x2: Any, y2: Any): Any =

@@ -28,7 +28,11 @@ case class ProbeTilesExpr(left: Expression, right: Expression,
   extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = false
+  // nullable derives from the children (the Binary/Quaternary default):
+  // a NULL coordinate yields a NULL array, which the consuming explode
+  // drops — the same fate the replaced join predicate gave such rows.
+  // (A hardcoded false would make codegen skip the child null checks
+  // and probe with default-0 coordinates.)
   override def prettyName: String = "probe_tiles"
 
   @transient private lazy val index: TileIndex = bc.value

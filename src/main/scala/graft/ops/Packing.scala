@@ -29,18 +29,39 @@ object Packing {
    *                  (and therefore the offsets) shuffle-dependent
    * @param nTokens   token count column (cast to long internally)
    * @param chunkSize training-sequence capacity in tokens
-   * @param bucketSize id-range bucket width for the two-level scan
+   * @param bucketSize id-range bucket width for the two-level scan;
+   *                  AutoBucket (default) derives ~sqrt(max id) from
+   *                  the data so BOTH levels stay ~sqrt(n) rows — a
+   *                  fixed width would push n/width rows through the
+   *                  single-partition bucket window at 10^12 docs
    * @return (id, n_tokens, start_offset, chunk_start, chunk_end) —
    *         offsets in the id-ordered concatenated token stream; a
    *         doc straddling a capacity boundary spans
    *         [chunk_start, chunk_end] (the chunked-concatenation
    *         regime LM training uses, not padded bin packing)
    */
+  /** Sentinel: derive bucketSize from the data (~sqrt of the id span). */
+  final val AutoBucket = 0L
+
   def tokenOffsets(docs: DataFrame, nTokens: Column, id: String = "doc_id",
                    chunkSize: Long = 512L,
-                   bucketSize: Long = 4096L): DataFrame = {
+                   bucketSize: Long = AutoBucket): DataFrame = {
+    val width =
+      if (bucketSize != AutoBucket) bucketSize
+      else {
+        // one cheap max(id) scan; sqrt keeps the bucket-totals window
+        // (span/width rows, single partition) and each per-bucket
+        // window (~width rows) balanced at ~sqrt(n). Offsets are
+        // bucketing-invariant (PackingSpec), so width never changes
+        // results, only plan shape.
+        val span = docs.select(max(col(id).cast("long"))).head() match {
+          case r if r.isNullAt(0) => 1L
+          case r => math.max(r.getLong(0), 1L)
+        }
+        math.max(64L, math.sqrt(span.toDouble).ceil.toLong)
+      }
     val base = docs.select(col(id), nTokens.cast("long").as("n_tokens"),
-      expr(s"$id div $bucketSize").as("bucket"))
+      expr(s"$id div $width").as("bucket"))
     val bucketTotals = base.groupBy("bucket")
       .agg(sum(col("n_tokens")).as("bucket_total"))
     // cumulative over bucket totals: the ordered window runs over
@@ -57,6 +78,10 @@ object Packing {
           coalesce(sum(col("n_tokens")).over(dw), lit(0L))).as("start_offset"))
       .select(col(id), col("n_tokens"), col("start_offset"),
         expr(s"start_offset div $chunkSize").as("chunk_start"),
-        expr(s"(start_offset + n_tokens - 1) div $chunkSize").as("chunk_end"))
+        // greatest-clamp: an (API-reachable) n_tokens = 0 row would
+        // make the -1 land in the previous chunk — and Spark's
+        // truncating div disagrees with a flooring // at offset 0
+        greatest(expr(s"start_offset div $chunkSize"),
+          expr(s"(start_offset + n_tokens - 1) div $chunkSize")).as("chunk_end"))
   }
 }

@@ -346,6 +346,27 @@ object TextDedup {
       .distinct()
 
   /**
+   * Distinct (id, 60-bit md5 gram hash) pairs with the hash applied
+   * map-side, BEFORE the distinct's exchange — every shuffle carries
+   * an 8-byte key instead of gram text (the 100 TB shape; md5-derived
+   * rather than xxhash64 so any engine reproduces it). Hash collisions
+   * (~2^-60 per pair) merge identically in every engine applying the
+   * same hash. `fullOnly` keeps only grams of exactly n chars (drops
+   * the truncated gram short texts produce).
+   */
+  def charShingleHashes(docs: DataFrame, n: Int = 3, fullOnly: Boolean = false,
+                        id: String = "doc_id", text: String = "text"): DataFrame = {
+    val grams = docs.select(col(id), col(text),
+        explode(sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))))
+          .as("i"))
+      .select(col(id), substring(col(text), col("i"), lit(n)).as("gram"))
+    val kept = if (fullOnly) grams.where(length(col("gram")) === n) else grams
+    kept.select(col(id),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_hash"))
+      .distinct()
+  }
+
+  /**
    * Exact n-gram Jaccard for all pairs within a bounded id range
    * (the verification stage downstream of LSH candidates):
    * jaccard_ppm = |A intersect B| * 1e6 / |A union B|.

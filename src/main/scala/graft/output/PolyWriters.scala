@@ -67,16 +67,79 @@ object PolyWriters {
     }
   }
 
-  /** Osmosis .poly: one section per ring, holes prefixed with `!`. */
+  /** Closed (lon, lat) rings in awt path order — the reference's exact
+    * traversal (`Utils.areaToShapes:136-193`): consecutive duplicates
+    * skipped, ring closed by repeating its head, sub-4-point rings
+    * dropped. Byte parity of areas.poly depends on this ring order. */
+  private def refShapes(area: AwtArea): Seq[Seq[(Int, Int)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Int)]]
+    var cur: scala.collection.mutable.ArrayBuffer[(Int, Int)] = null
+    var prev: (Int, Int) = null
+    def closeRing(): Unit = if (cur != null) {
+      if (cur.size > 2 && cur.head != cur.last) cur += cur.head
+      if (cur.size > 3) out += cur.toSeq
+    }
+    val it = area.getPathIterator(null)
+    val res = new Array[Float](6)
+    while (!it.isDone) {
+      val t = it.currentSegment(res)
+      val p = (math.round(res(0)), math.round(res(1))) // (lon, lat)
+      t match {
+        case PathIterator.SEG_MOVETO =>
+          closeRing()
+          cur = scala.collection.mutable.ArrayBuffer(p); prev = p
+        case PathIterator.SEG_LINETO =>
+          if (p != prev) cur += p
+          prev = p
+        case PathIterator.SEG_CLOSE =>
+          closeRing(); cur = null; prev = null
+        case _ => ()
+      }
+      it.next()
+    }
+    out.toSeq
+  }
+
+  /** Shoelace orientation over a CLOSED ring, the reference's
+    * convention (`Utils.clockwise:251-267`: area <= 0 = clockwise). */
+  private def refClockwise(ring: Seq[(Int, Int)]): Boolean =
+    ring.size >= 3 && ring.head == ring.last && {
+      var area = 0L
+      var i = 1
+      while (i < ring.size) {
+        val (x1, y1) = ring(i - 1); val (x2, y2) = ring(i)
+        area += x1.toLong * y2 - x2.toLong * y1
+        i += 1
+      }
+      area <= 0
+    }
+
+  /** Osmosis .poly: one section per ring, holes (counter-clockwise)
+    * prefixed with `!`. Byte-identical to the reference writer
+    * (`AreaList.writePoly:186-223`, RefParitySpec): shapes reversed so
+    * outer polygons come first, middle points elided only on pure
+    * horizontal/vertical runs, two-space `%f %f` (lon lat) rows. The
+    * reference hardcodes the name line to "area". */
   def writePoly(path: String, name: String, rects: Seq[TileRect]): Unit = {
+    val area = new AwtArea()
+    rects.foreach { r =>
+      area.add(new AwtArea(new Rectangle(r.minLon, r.minLat, r.width, r.height)))
+    }
+    val shapes = refShapes(area).reverse
     val pw = new PrintWriter(new FileWriter(path))
     try {
       pw.println(name)
-      unionRings(rects).zipWithIndex.foreach { case ((ring, outer), i) =>
-        pw.println(if (outer) s"${i + 1}" else s"!${i + 1}")
-        (ring :+ ring.head).foreach { case (lat, lon) =>
-          pw.format(Locale.ROOT, "   %f   %f%n",
-            Double.box(MapUnits.toDegrees(lon)), Double.box(MapUnits.toDegrees(lat)))
+      shapes.zipWithIndex.foreach { case (shape, i) =>
+        pw.println(if (refClockwise(shape)) s"${i + 1}" else s"!${i + 1}")
+        shape.indices.foreach { j =>
+          val (x, y) = shape(j)
+          val skip = j > 0 && j + 1 < shape.size && {
+            val (px, py) = shape(j - 1); val (nx, ny) = shape(j + 1)
+            (x == nx && x == px) || (y == ny && y == py)
+          }
+          if (!skip)
+            pw.format(Locale.ROOT, "  %f  %f%n",
+              Double.box(MapUnits.toDegrees(x)), Double.box(MapUnits.toDegrees(y)))
         }
         pw.println("END")
       }

@@ -141,6 +141,16 @@ object OpsCatalog {
         nCentroids = 16, nProbe = 2)
     }),
 
+    // trained IVF end-to-end: Lloyd rounds with integer-exact member
+    // sums (order-insensitive BIGINTs -> bit-reproducible in DuckDB)
+    // -> inverted lists -> probe search; the whole training loop is
+    // oracle-gated, not just the quantizer
+    "q_ivf_search_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfSearchTrained(e, e.where(col("vec_id") < 10), k = 3,
+        nCentroids = 8, iters = 2, nProbe = 2)
+    }),
+
     "q_embed_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.5, maxId = 300)),
 
@@ -199,35 +209,32 @@ object OpsCatalog {
     // "Deduplicating Training Data Makes Language Models Better"
     // primitive): character 20-grams appearing in more than one doc,
     // with the doc-id range of the duplication. One explode + one
-    // hash aggregation on the gram — the cost follows duplicated-span
-    // count, never document pairs; at 100 TB the gram rides as an
-    // 8-byte hash and the agg is map-side combined
-    "q_dup_spans" -> ((s, dir) => {
-      val grams = TextDedup.charShingles(
-        docs(s, dir).where(col("doc_id") < 500), 20)
-        .where(length(col("gram")) === 20)
-      grams.groupBy("gram").agg(
-          count_distinct(col("doc_id")).as("n_docs"),
+    // hash aggregation; the gram is hashed to a 60-bit md5 key
+    // MAP-SIDE, so every exchange carries 8 bytes, never gram text
+    "q_dup_spans" -> ((s, dir) =>
+      TextDedup.charShingleHashes(
+          docs(s, dir).where(col("doc_id") < 500), 20, fullOnly = true)
+        .groupBy("gram_hash").agg(
+          count(lit(1)).as("n_docs"), // rows are distinct (doc, hash)
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-        .where(col("n_docs") >= 2)
-    }),
+        .where(col("n_docs") >= 2)),
 
     // benchmark decontamination: training docs sharing any character
     // 13-gram with a held-out eval set (synthetic: doc_id % 97 == 0)
-    // are flagged with their shared-gram count. Equi-join on the gram
-    // (the eval side is the small broadcast build side), never a
-    // pairwise comparison — the shape used to decontaminate web-scale
-    // corpora against eval suites
+    // are flagged with their shared-gram count. Equi-join on the
+    // 60-bit gram hash (hashed map-side; the eval side is the small
+    // broadcast build side), never a pairwise comparison — the shape
+    // used to decontaminate web-scale corpora against eval suites
     "q_decontaminate" -> ((s, dir) => {
       val n = 13
       val train = docs(s, dir)
         .where(col("doc_id") % 97 =!= 0 && col("doc_id") < 2000)
-      val benchGrams = TextDedup.charShingles(
+      val benchHashes = TextDedup.charShingleHashes(
           docs(s, dir).where(col("doc_id") % 97 === 0), n)
-        .select("gram").distinct()
-      TextDedup.charShingles(train, n)
-        .join(benchGrams, Seq("gram"), "left_semi")
+        .select("gram_hash").distinct()
+      TextDedup.charShingleHashes(train, n)
+        .join(benchHashes, Seq("gram_hash"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
     }),
 
@@ -350,13 +357,18 @@ object OpsCatalog {
       "WHERE hamming <= 3"
   }
 
-  // constant-range series + filter: this DuckDB build rejects lateral
-  // column parameters in generate_series
-  private def gramsSql(n: Int, filter: String, maxLen: Int = 4096): String =
+  // the generate_series TABLE function rejects lateral column bounds,
+  // but the scalar list form under unnest() takes them — positions are
+  // derived from each text's actual length, no corpus length cap
+  private def gramsSql(n: Int, filter: String): String =
     s"(SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), $n) AS gram " +
-      s"FROM (SELECT doc_id, text FROM documents $filter) d, " +
-      s"generate_series(1, $maxLen) g(i) " +
-      s"WHERE i <= GREATEST(len(d.text) - ${n - 1}, 1))"
+      s"FROM (SELECT doc_id, text, " +
+      s"unnest(generate_series(1, GREATEST(len(text) - ${n - 1}, 1))) AS i " +
+      s"FROM documents $filter) d)"
+
+  /** 60-bit md5 hash, the engine's cross-engine-stable shuffle key. */
+  private def hash60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
   private def ngramJaccardSql: String =
     s"WITH grams AS ${gramsSql(3, "WHERE doc_id < 200")}, " +
@@ -448,6 +460,52 @@ object OpsCatalog {
       "SELECT query_id, neighbor_id, row_number() OVER (" +
       "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank " +
       "FROM scored) WHERE rank <= 3"
+
+  /** Full Lloyd-rounds reconstruction of q_ivf_search_trained:
+    * normalize -> 2 unrolled assign/update rounds (BIGINT-exact
+    * per-dimension sums, float64 renormalize) -> lists/probes/top-k.
+    * Every float64 step is order-fixed, so the hashes match Spark's. */
+  private def ivfTrainedSql: String = {
+    val dims = 64
+    val kC = 8
+    val scale = "1048576.0" // 2^20, matches Similarity.ivfSearchTrained
+    val sumCols = (0 until dims).map(d =>
+      s"SUM(CAST(round(nv[${d + 1}] * $scale) AS BIGINT)) AS s$d").mkString(", ")
+    val svList = (0 until dims).map(d => s"CAST(s$d AS DOUBLE)").mkString("[", ", ", "]")
+    def lloydRound(prev: String, i: Int): String =
+      s"a$i AS (SELECT vec_id, nv, centroid_id FROM (" +
+        s"SELECT v.vec_id, v.nv, c.centroid_id, row_number() OVER (" +
+        "PARTITION BY v.vec_id ORDER BY list_dot_product(v.nv, c.centroid) DESC, " +
+        s"c.centroid_id) AS rn FROM nv v, $prev c) WHERE rn = 1), " +
+        s"s$i AS (SELECT centroid_id, $sumCols FROM a$i GROUP BY centroid_id), " +
+        s"v$i AS (SELECT centroid_id, $svList AS sv FROM s$i), " +
+        s"c$i AS (SELECT centroid_id, list_transform(sv, " +
+        "x -> x / sqrt(list_dot_product(sv, sv))) AS centroid " +
+        s"FROM v$i WHERE sqrt(list_dot_product(sv, sv)) > 0), "
+    "WITH nv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      s"x -> x / sqrt(${dotSql("embedding", "embedding")})) AS nv FROM embeddings), " +
+      s"c0 AS (SELECT vec_id AS centroid_id, nv AS centroid FROM nv WHERE vec_id < $kC), " +
+      lloydRound("c0", 1) + lloydRound("c1", 2) +
+      "lists AS (SELECT neighbor_id, cv, centroid_id FROM (" +
+      "SELECT v.vec_id AS neighbor_id, v.embedding AS cv, c.centroid_id, " +
+      "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      "list_dot_product(CAST(v.embedding AS DOUBLE[]), c.centroid) DESC, " +
+      "c.centroid_id) AS rn FROM embeddings v, c2 c) WHERE rn = 1), " +
+      "probes AS (SELECT query_id, qv, centroid_id FROM (" +
+      "SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_dot_product(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC, " +
+      "c.centroid_id) AS rn FROM embeddings q, c2 c WHERE q.vec_id < 10) " +
+      "WHERE rn <= 2), " +
+      "scored AS (SELECT query_id, neighbor_id, " +
+      "max(" + cosSql("p.qv", "l.cv") + ") AS sim " +
+      "FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id " +
+      "AND l.neighbor_id <> p.query_id GROUP BY 1, 2) " +
+      "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (" +
+      "SELECT query_id, neighbor_id, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank " +
+      "FROM scored) WHERE rank <= 3"
+  }
 
   private def embedDupLshSql: String =
     "WITH b AS (SELECT vec_id, embedding, " + bucketSql("embedding", 4) +
@@ -598,23 +656,25 @@ object OpsCatalog {
     "q_ivf_assign" -> ivfSql,
     "q_ann_multiprobe" -> annMultiProbeSql,
     "q_ivf_search" -> ivfSearchSql,
+    "q_ivf_search_trained" -> ivfTrainedSql,
     "q_embed_dup" -> embedDupSql,
     "q_embed_dup_lsh" -> embedDupLshSql,
     "q_langid" -> langIdSql,
     "q_quality_metrics" -> qualitySql,
     "q_fingerprint" -> fingerprintSql,
     "q_dup_spans" ->
-      (s"SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+      (s"WITH g AS (SELECT DISTINCT doc_id, ${hash60Sql("gram")} AS gram_hash " +
+        s"FROM ${gramsSql(20, "WHERE doc_id < 500")} gr WHERE len(gram) = 20) " +
+        "SELECT gram_hash, CAST(count(*) AS BIGINT) AS n_docs, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
-        s"FROM ${gramsSql(20, "WHERE doc_id < 500")} g " +
-        "WHERE len(gram) = 20 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2"),
+        "FROM g GROUP BY gram_hash HAVING count(*) >= 2"),
     "q_decontaminate" ->
-      (s"WITH bench AS (SELECT DISTINCT gram FROM " +
+      (s"WITH bench AS (SELECT DISTINCT ${hash60Sql("gram")} AS gram_hash FROM " +
         s"${gramsSql(13, "WHERE doc_id % 97 = 0")} b), " +
-        s"train AS (SELECT doc_id, gram FROM " +
+        s"train AS (SELECT DISTINCT doc_id, ${hash60Sql("gram")} AS gram_hash FROM " +
         s"${gramsSql(13, "WHERE doc_id % 97 <> 0 AND doc_id < 2000")} t) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
-        "FROM train WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id"),
+        "FROM train WHERE gram_hash IN (SELECT gram_hash FROM bench) GROUP BY doc_id"),
     "q_media_extract" -> mediaDecodedSql,
     "q_frame_sample" -> frameSampleSql)
 }

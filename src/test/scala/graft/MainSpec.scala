@@ -54,10 +54,72 @@ class MainSpec extends AnyFunSuite {
     assert(SplitterArgs.parse(Seq("--max-nodes=abc")).isLeft)
   }
 
-  test("accepted-and-ignored legacy options parse cleanly") {
-    val a = SplitterArgs.parse(Seq("--cache=x", "--mixed", "--max-areas=512",
-      "--status-freq=0", "--max-threads=4", "in")).toOption.get
+  test("accepted-and-ignored legacy options parse cleanly and are inert") {
+    val a = SplitterArgs.parse(Seq("--cache=x", "--mixed",
+      "--status-freq=0", "--max-threads=4", "--ignore-osm-bounds", "in"))
+      .toOption.get
     assert(a.inputs === Seq("in"))
+    // explicitly inert (like the reference's own deprecated flags):
+    // none of them may perturb the engine configuration
+    val default = SplitterArgs.parse(Seq("in")).toOption.get
+    assert(a.toConfig === default.toConfig)
+    assert(a === default, "legacy options must not set any field")
+  }
+
+  test("--max-areas parses, validates 1-9999, defaults to 2048") {
+    assert(SplitterArgs.parse(Seq("in")).toOption.get.maxAreas === 2048)
+    assert(SplitterArgs.parse(Seq("--max-areas=512", "in"))
+      .toOption.get.maxAreas === 512)
+    assert(SplitterArgs.parse(Seq("--max-areas=0", "in")).swap.toOption.get
+      .contains("--max-areas"))
+    assert(SplitterArgs.parse(Seq("--max-areas=10000", "in")).swap.toOption.get
+      .contains("--max-areas"))
+  }
+
+  test("--max-areas pass count never changes the dist output " +
+    "(reference SolverAndProblemGeneratorTest invariance)") {
+    def distWith(extra: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val out = java.nio.file.Files.createTempDirectory("graft_maxareas").toString
+      val a = SplitterArgs.parse(Seq(
+        s"--output-dir=$out", "--stop-after=dist", "--max-nodes=200",
+        "/root/testdata/sf0.001/documents.parquet") ++ extra).toOption.get
+      assert(Main.run(spark, a) === "dist")
+      spark.read.parquet(s"$out/tiles")
+    }
+    val onePass = distWith(Nil)
+    val chunked = distWith(Seq("--max-areas=2")) // 200-node solve -> >2 tiles
+    assert(onePass.select("map_id").distinct().count() > 2,
+      "fixture must actually need multiple passes at max-areas=2")
+    assert(onePass.exceptAll(chunked).isEmpty &&
+      chunked.exceptAll(onePass).isEmpty,
+      "chunked multi-pass write must equal the single-pass write")
+  }
+
+  test("--problem-report redirects the problem list artifact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_preport").toString
+    val a = SplitterArgs.parse(Seq(
+      s"--output-dir=$out", "--stop-after=gen-problem-list",
+      "--max-nodes=200", s"--problem-report=$out/custom_report.txt",
+      "/root/testdata/sf0.001/documents.parquet")).toOption.get
+    assert(Main.run(spark, a) === "gen-problem-list")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/custom_report.txt")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/problem.list")),
+      "--problem-report must redirect, not duplicate")
+    // the reference ignores --problem-report under keep-complete=false
+    // (Main.java:451-453): the default artifact is written instead
+    val out2 = java.nio.file.Files.createTempDirectory("graft_preport2").toString
+    val b = SplitterArgs.parse(Seq(
+      s"--output-dir=$out2", "--stop-after=gen-problem-list",
+      "--max-nodes=200", "--keep-complete=false",
+      s"--problem-report=$out2/custom_report.txt",
+      "/root/testdata/sf0.001/documents.parquet")).toOption.get
+    assert(Main.run(spark, b) === "gen-problem-list")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out2/custom_report.txt")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out2/problem.list")))
   }
 
   test("stop-after gates the phase chain and writes phase artifacts") {

@@ -102,6 +102,38 @@ class OpsSpec extends AnyFunSuite {
     assert(assign.size === emb.count())
   }
 
+  test("IVF argmax is a pure projection: zero exchanges in the assign plan") {
+    val assign = Similarity.ivfAssign(emb, 16)
+    val plan = assign.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"ivfAssign must be a literal-centroid projection, no shuffle:\n$plan")
+    val trained = Similarity.kmeansCentroids(emb, 4, iters = 1)
+    val planT = Similarity.ivfAssignTrained(emb, trained)
+      .queryExecution.executedPlan.toString
+    assert(!planT.contains("Exchange"),
+      s"ivfAssignTrained must not shuffle:\n$planT")
+  }
+
+  test("trained IVF: integer-exact Lloyd rounds are bit-deterministic") {
+    def train() = Similarity
+      .kmeansCentroids(emb, 8, iters = 2, exactScale = Some(1L << 20))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+      .sortBy(_._1).toList
+    val a = train()
+    val b = train()
+    assert(a == b, "exact-scaled training must reproduce bit-identically")
+    assert(a.nonEmpty && a.forall(_._2.length == 64))
+    // the trained search keeps the probe contract: <= k rows per query,
+    // ranks contiguous from 1
+    val res = Similarity.ivfSearchTrained(emb, emb.where(col("vec_id") < 5),
+      k = 3, nCentroids = 8, iters = 2).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getLong(2)).sorted.toList == (1L to rows.length).toList)
+    }
+  }
+
   test("lsh bucket cap: 10k identical docs complete; oversized buckets reported") {
     // a pathological near-dup cluster: every doc identical -> every
     // band bucket holds all 10k docs (quadratic without the cap)
@@ -250,6 +282,15 @@ class OpsSpec extends AnyFunSuite {
     // must yield the identical global offsets
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "token offsets must not depend on the scan's bucket width")
+    // pathological widths: 1 (every doc its own bucket — the wide
+    // window degenerates to a full per-doc scan) and the auto
+    // (~sqrt(max id)) default must both reproduce the same offsets
+    val tiny = graft.ops.Packing.tokenOffsets(docs, nTok, bucketSize = 1L)
+    val auto = graft.ops.Packing.tokenOffsets(docs, nTok)
+    assert(a.exceptAll(tiny).isEmpty && tiny.exceptAll(a).isEmpty,
+      "bucketSize=1 must not change offsets")
+    assert(a.exceptAll(auto).isEmpty && auto.exceptAll(a).isEmpty,
+      "auto bucket width must not change offsets")
     // contiguity: sorted by doc_id, each start_offset equals the
     // previous start_offset + n_tokens (no gaps, no overlaps)
     val rows = a.orderBy("doc_id").collect()
