@@ -271,8 +271,12 @@ object Bench {
       return
     }
     val tStart = System.nanoTime()
+    // 780 s in-JVM: round 1's harness run survived ~1058 s sbt wall and
+    // the round-2 SIGKILL correlated with the old 8g+8g memory shape
+    // (now bounded 8g+6g); a slow box day needs the extra minute to
+    // time the whole query suite after the scaling windows
     val deadlineSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "720").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "780").toDouble
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -379,7 +383,10 @@ object Bench {
         // the driver loses every query timing
         val pairWall = wallByLvl.getOrElse(lvlMid, 60.0) +
           wallByLvl.getOrElse(lvlLow, 90.0)
-        val queryReserve = 180.0
+        // cold warmup + two timed passes over ~60 queries on a SLOW
+        // box day (exactly when extra pairs trigger) needs real room —
+        // 180s once starved the query phase to 4 timings
+        val queryReserve = 300.0
         if (midW.nonEmpty && lowW.nonEmpty &&
           elapsed + pairWall + queryReserve < deadlineSec) {
           val raw = (lowW.min / midW.min) / (lvlMid.toDouble / lvlLow)
@@ -411,17 +418,17 @@ object Bench {
 
     // --- catalog queries at full parallelism (after the scoreboard
     // metrics; a deadline overrun truncates HERE, not the pipeline).
-    // One untimed pass first: the initial execution of each generated
-    // pipeline measures HotSpot/codegen compilation, not the engine.
-    // both CC formulations stay oracle-gated in Verify, but the timed
-    // suite needs only one: the web-scale stars variant is the timed
-    // CC path, the pointer-jumping twin is skipped here
+    // Warmup is PER QUERY, immediately before its timed runs: the
+    // initial execution measures HotSpot/codegen compilation, not the
+    // engine — and interleaving means a deadline cut mid-suite still
+    // leaves complete warm timings for every query it reached (a slow
+    // box once spent the whole budget on a global warmup pass and
+    // timed nothing). Both CC formulations stay oracle-gated in
+    // Verify, but the timed suite needs only one: the web-scale stars
+    // variant is the timed CC path, the pointer-jumping twin is
+    // skipped here.
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1 == "q_dedup_cc")
-    sortedQueries.foreach { case (_, fn) =>
-      if (elapsed < deadlineSec)
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-    }
     val results = sortedQueries.flatMap { case (name, fn) =>
       if (elapsed >= deadlineSec) {
         System.err.println(s"bench: deadline passed, skipping query $name")
@@ -432,6 +439,11 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         }
+        // untimed warmup (codegen + JIT for this query's plan) only
+        // while the budget is comfortable; under pressure the first
+        // timed sample absorbs compilation and the min discards it —
+        // a 2-run degraded tail beats 16 skipped queries
+        if (elapsed < deadlineSec - 150) once()
         // min-of-2: single-shot query timings swung 2-3x with box
         // contention in the round-4 driver run (VERDICT r4); the min
         // estimates the uncontended cost. Second sample yields to the
