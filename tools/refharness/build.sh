@@ -9,5 +9,6 @@ REF_SRC="${REF_SRC:-/root/reference/src}"
 mkdir -p "$OUT"
 javac -nowarn -encoding UTF-8 -d "$OUT" \
   -sourcepath "$REF_SRC:$REPO/tools/refharness/stubs:$REPO/tools/refharness/driver" \
-  "$REPO/tools/refharness/driver/RefSolve.java"
+  "$REPO/tools/refharness/driver/RefSolve.java" \
+  "$REPO/tools/refharness/driver/RefFormats.java"
 echo "refharness compiled to $OUT"
