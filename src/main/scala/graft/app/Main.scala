@@ -177,9 +177,13 @@ object Main {
         ad.rect.maxLat.toLong, ad.rect.maxLon.toLong)))
       .toDF("map_id", "t_min_lat", "t_min_lon", "t_max_lat", "t_max_lon")
 
-  /** Run all phases up to `stopAfter`; returns the last phase run. */
+  /** Run all phases up to `stopAfter`; returns the last phase run.
+    * Inputs that are OSM files (`.osm[.gz]` / `.o5m` / `.pbf`) run the
+    * OSM-entity pipeline ([[OsmSplit]]); parquet paths run the corpus
+    * pipeline below. */
   def run(spark: SparkSession, a: SplitterArgs): String = {
-    require(a.inputs.nonEmpty, "at least one input parquet path is required")
+    require(a.inputs.nonEmpty, "at least one input path is required")
+    if (a.inputs.forall(OsmSplit.isOsmInput)) return OsmSplit.run(spark, a)
     val cfg = a.toConfig
     val outDir = a.outputDir
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
@@ -200,7 +204,17 @@ object Main {
       .withColumn("lon_mu", graft.geo.CoordSynthesis.lonCol(col("doc_id")))
 
     // ---- phase: split (density -> solve -> areas.* artifacts) ------
-    val solved = a.splitFile match {
+    val solved = solveAreas(spark, a, cfg, points)
+    val areas = finalizeAreas(spark, a, solved, outDir)
+    if (a.stopAfter == "split") return "split"
+    runLinkedPhases(spark, a, cfg, outDir, points, areas)
+  }
+
+  /** The split phase's solve: split-file reuse, else density grid
+    * (optionally sea-merged) -> BSP / polygon-constrained solve. */
+  private[app] def solveAreas(spark: SparkSession, a: SplitterArgs,
+      cfg: SplitConfig, points: DataFrame): Seq[graft.output.AreaDef] =
+    a.splitFile match {
       case Some(f) => AreaWriters.readAreasList(f) // split-file reuse
       case None =>
         // bounds computed once so sea read + both histograms align
@@ -256,8 +270,12 @@ object Main {
             s"Too many areas for initial mapid ${a.mapid}")
         as
     }
-    // J6 naming: top-population geonames city per tile, else the
-    // --description default (reference AreaList.setAreaNames:272-298)
+
+  /** J6 naming (top-population geonames city per tile, else the
+    * --description default — reference AreaList.setAreaNames:272-298)
+    * plus the areas.list / template.args / areas.poly / kml artifacts. */
+  private[app] def finalizeAreas(spark: SparkSession, a: SplitterArgs,
+      solved: Seq[graft.output.AreaDef], outDir: String): Seq[graft.output.AreaDef] = {
     val areas = a.geonamesFile match {
       case Some(gf) =>
         val cities = graft.sources.GeoNames.loadCities(spark, gf)
@@ -276,8 +294,14 @@ object Main {
       val path = if (new java.io.File(kml).isAbsolute) kml else s"$outDir/$kml"
       graft.output.PolyWriters.writeKml(path, areas)
     }
-    if (a.stopAfter == "split") return "split"
+    areas
+  }
 
+  /** The corpus pipeline's post-split phases (gen-problem-list ->
+    * handle-problem-list -> dist). */
+  private def runLinkedPhases(spark: SparkSession, a: SplitterArgs,
+      cfg: graft.pipeline.SplitConfig, outDir: String, points: DataFrame,
+      areas: Seq[graft.output.AreaDef]): String = {
     // ---- phase: gen-problem-list (border-crossing links) -----------
     // --problem-file replaces the computation entirely (reference
     // Main.java:198-213 -> ProblemLists.readProblemIds:129-179);

@@ -122,6 +122,33 @@ object AreaWriters {
     } finally pw.close()
   }
 
+  /** Streamed kinded [[writeProblemList]] for OSM inputs: way lines
+    * then rel lines, each string-sorted, pulled one partition at a
+    * time. Returns the total id count. */
+  def writeProblemListKinds(path: String,
+                            wayIds: org.apache.spark.sql.DataFrame,
+                            relIds: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val pw = new PrintWriter(new FileWriter(path))
+    try {
+      pw.println("#")
+      pw.println("# This file can be given to splitter using the --problem-file option")
+      pw.println("#")
+      var n = 0L
+      def emit(df: org.apache.spark.sql.DataFrame, prefix: String): Unit = {
+        val it = df.select(col(df.columns.head).cast("string").as("id"))
+          .orderBy("id").toLocalIterator()
+        while (it.hasNext) {
+          pw.println(s"$prefix ${it.next().getString(0)} #")
+          n += 1
+        }
+      }
+      emit(wayIds, "way:")
+      emit(relIds, "rel:")
+      n
+    } finally pw.close()
+  }
+
   /** Streamed [[writeProblemList]] for a Dataset of link ids:
     * identical byte format (string-sorted way lines), pulled to the
     * driver ONE PARTITION AT A TIME — bounded memory at any problem

@@ -1,0 +1,138 @@
+package graft.output
+
+import java.io.{BufferedOutputStream, OutputStream}
+import java.util.zip.GZIPOutputStream
+
+import graft.formats._
+import graft.geo.MapUnits
+import graft.sources.SerializableHadoopConf
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-tile OSM file writers (sinks K1-K3 of SURVEY.md §2): the `dist`
+ * phase's assigned entities land as one `%08d.o5m` / `%08d.osm.gz` /
+ * `%08d.pbf` per tile, exactly the reference's output surface
+ * (writer/O5mMapWriter.java initForWrite filename :171, OSMXMLWriter
+ * :50, BinaryMapWriter; dispatch in OSMWriter). The per-file byte
+ * formats are the byte-parity codecs of [[graft.formats]]
+ * (RefFormatParitySpec pins o5m/xml equality with the reference
+ * writers).
+ *
+ * Distribution: one shuffle, hash-partitioned on `map_id`, each task
+ * streaming its tiles' files in sorted (map_id, kind, id) order — file
+ * handles never overlap, memory stays O(1) per task, and tile count
+ * scales past any single node because tiles spread across executors.
+ * Element order inside a file is nodes, ways, relations, each
+ * ascending by id (the reference's pass order over a sorted input
+ * file). `created_by` tags are dropped HERE, not at the sources — the
+ * reference drops them at parse time (Element.addTag,
+ * Element.java:60-66), so its tiles never carry them.
+ */
+object OsmTileSink {
+
+  /** Writer facade over the three codecs. */
+  private trait EntitySink {
+    def write(e: OsmEntity): Unit
+    def finish(): Unit
+  }
+
+  def extensionOf(format: String): String = format match {
+    case "o5m" => "o5m"
+    case "xml" => "osm.gz"
+    case "pbf" => "pbf"
+    case other => throw new IllegalArgumentException(
+      s"unsupported tile output format: $other (o5m | xml | pbf)")
+  }
+
+  /** o5m/pbf bbox values: (long)(Utils.toDegrees(mu) * 1e7), the
+    * reference writers' truncation (O5mMapWriter.writeBBox). */
+  private def deg7(mu: Int): Long = (MapUnits.toDegrees(mu) * 1e7).toLong
+
+  private def open(out: OutputStream, format: String, rect: graft.geo.TileRect,
+      versionPolicy: String): EntitySink = format match {
+    case "o5m" =>
+      val w = new O5mWriter(out, versionPolicy)
+      w.writeBounds(OsmBounds(deg7(rect.minLat), deg7(rect.minLon),
+        deg7(rect.maxLat), deg7(rect.maxLon)))
+      new EntitySink {
+        def write(e: OsmEntity): Unit = w.write(e)
+        def finish(): Unit = { w.finish(); out.close() }
+      }
+    case "xml" =>
+      val gz = new GZIPOutputStream(out)
+      val w = new OsmXmlWriter(gz, versionPolicy)
+      w.writeHeader(Some((MapUnits.toDegrees(rect.minLat), MapUnits.toDegrees(rect.minLon),
+        MapUnits.toDegrees(rect.maxLat), MapUnits.toDegrees(rect.maxLon))))
+      new EntitySink {
+        def write(e: OsmEntity): Unit = w.write(e)
+        def finish(): Unit = { w.finish(); gz.finish(); gz.close() }
+      }
+    case "pbf" =>
+      val w = new PbfWriter(out, versionPolicy)
+      w.writeHeader(Some(OsmBounds(deg7(rect.minLat), deg7(rect.minLon),
+        deg7(rect.maxLat), deg7(rect.maxLon))))
+      new EntitySink {
+        def write(e: OsmEntity): Unit = w.write(e)
+        def finish(): Unit = { w.finish(); out.close() }
+      }
+    case other => throw new IllegalArgumentException(s"unknown format $other")
+  }
+
+  private def entityOf(r: Row): OsmEntity = {
+    val tags = r.getSeq[Row](5)
+      .map(t => OsmTag(t.getString(0), t.getString(1)))
+      .filterNot(_.key == "created_by")
+      .toVector
+    val refs = r.getSeq[Long](6).toVector
+    val members = r.getSeq[Row](7)
+      .map(m => OsmMember(m.getString(0), m.getLong(1), m.getString(2)))
+      .toVector
+    val kind = r.getString(1)
+    OsmEntity(kind, r.getLong(2), r.getInt(3), r.getInt(4),
+      hasCoords = kind == OsmKind.Node, r.getInt(8), tags, refs, members)
+  }
+
+  /**
+   * Write one OSM file per tile. `assigned` must carry
+   * (map_id, kind, id, lat7, lon7, version, tags, refs, members);
+   * `areas` provides each tile's bounds for the file header.
+   */
+  def write(assigned: DataFrame, outDir: String, format: String,
+      areas: Seq[AreaDef], versionPolicy: String = "keep"): Unit = {
+    val spark = assigned.sparkSession
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val rects: Map[Int, graft.geo.TileRect] = areas.map(a => a.mapId -> a.rect).toMap
+    val ext = extensionOf(format)
+
+    val kindRank = when(col("kind") === OsmKind.Node, 0)
+      .when(col("kind") === OsmKind.Way, 1).otherwise(2)
+    val rows = assigned.select(
+        col("map_id").cast("int"), col("kind"), col("id").cast("long"),
+        col("lat7").cast("int"), col("lon7").cast("int"),
+        col("tags"), col("refs"), col("members"), col("version").cast("int"))
+      .repartition(col("map_id"))
+      .sortWithinPartitions(col("map_id"), kindRank, col("id"))
+
+    rows.foreachPartition { (it: Iterator[Row]) =>
+      val fs = new Path(outDir).getFileSystem(conf.value)
+      var cur = Int.MinValue
+      var sink: EntitySink = null
+      it.foreach { r =>
+        val mapId = r.getInt(0)
+        if (mapId != cur) {
+          if (sink != null) sink.finish()
+          val rect = rects.getOrElse(mapId,
+            throw new IllegalStateException(s"no bounds for tile $mapId"))
+          val f = new Path(outDir, f"$mapId%08d.$ext")
+          sink = open(new BufferedOutputStream(fs.create(f, true), 1 << 16),
+            format, rect, versionPolicy)
+          cur = mapId
+        }
+        sink.write(entityOf(r))
+      }
+      if (sink != null) sink.finish()
+    }
+  }
+}

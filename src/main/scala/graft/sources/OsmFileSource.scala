@@ -1,0 +1,376 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, InputStream, ObjectInputStream, ObjectOutputStream}
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+import graft.formats._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * OSM file ingestion (sources S1-S3 of SURVEY.md §2) as a Spark DSv2
+ * source: `spark.read.format("osm").load("planet.osm.pbf")` yields the
+ * entity DataFrame below. The reference's skip-flag machinery
+ * (MapProcessor.skipTags/skipNodes/skipWays/skipRels, honored by each
+ * parser — parser/O5mMapParser.java:165-182 jumps whole datasets,
+ * parser/BinaryMapParser.java skips primitive groups) maps onto
+ * Catalyst here: column pruning that drops `tags` stops tag
+ * materialization at the decoder, and `kind = 'node'` / `kind IN (...)`
+ * filters are pushed into the scan so skipped kinds are never decoded.
+ *
+ * Scale design: PBF files are split into byte ranges and decoded IN
+ * PARALLEL — each OSMData block carries its own string table and delta
+ * basis, so any block boundary is a valid split point; a reader resyncs
+ * to the first block-header signature at or after its range start and
+ * owns every block that STARTS inside its range (the classic splittable
+ * -container contract, so one planet-sized .pbf fans out across a
+ * cluster instead of serializing on one task). o5m and xml are
+ * inherently sequential containers (file-wide string-table ring / one
+ * document) and read one task per file — parallelism across files.
+ */
+object OsmFileSource {
+  val schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("lat7", IntegerType, nullable = false),
+    StructField("lon7", IntegerType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("tags", ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false))), containsNull = false)),
+    StructField("refs", ArrayType(LongType, containsNull = false)),
+    StructField("members", ArrayType(StructType(Seq(
+      StructField("mtype", StringType, nullable = false),
+      StructField("ref", LongType, nullable = false),
+      StructField("role", StringType, nullable = false))), containsNull = false))))
+
+  /** Convenience reader (same as format("osm")). */
+  def read(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.format("osm").load(paths: _*)
+
+  def formatOf(path: String): String = {
+    val p = path.toLowerCase
+    if (p.endsWith(".pbf")) "pbf"
+    else if (p.endsWith(".o5m")) "o5m"
+    else if (p.endsWith(".osm") || p.endsWith(".osm.gz") || p.endsWith(".xml")) "xml"
+    else throw new IllegalArgumentException(
+      s"unsupported OSM input (expect .osm[.gz] / .o5m / .pbf): $path")
+  }
+}
+
+/** Hadoop Configuration is not Serializable; standard writable wrapper. */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
+
+/** DataSourceRegister entry point (META-INF/services). */
+final class OsmDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "osm"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = OsmFileSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new OsmTable(OsmDataSource.pathsOf(new CaseInsensitiveStringMap(properties)))
+}
+
+object OsmDataSource {
+  /** load(path*) arrives as "paths" (JSON array) or single "path". */
+  def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { json =>
+      // tiny JSON string-array parse (values are quoted paths)
+      val s = json.trim.stripPrefix("[").stripSuffix("]")
+      if (s.isEmpty) Seq.empty[String]
+      else s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }.getOrElse(Seq.empty)
+    val single = Option(options.get("path")).toSeq
+    val all = (multi ++ single).distinct
+    if (all.isEmpty) throw new IllegalArgumentException("format(\"osm\") requires a path")
+    all
+  }
+}
+
+final class OsmTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"osm(${paths.mkString(",")})"
+  override def schema(): StructType = OsmFileSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OsmScanBuilder(paths)
+}
+
+final class OsmScanBuilder(paths: Seq[String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = OsmFileSource.schema
+  private var kinds: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("kind", _: String) => true
+      case In("kind", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("kind", v: String) =>
+        kinds = Some(kinds.getOrElse(Set("node", "way", "relation")) intersect Set(v))
+      case In("kind", vs) =>
+        kinds = Some(kinds.getOrElse(Set("node", "way", "relation"))
+          .intersect(vs.map(_.asInstanceOf[String]).toSet))
+      case _ => ()
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val k = kinds.getOrElse(Set("node", "way", "relation"))
+    val spec = OsmReadSpec(
+      nodes = k("node"), ways = k("way"), relations = k("relation"),
+      tags = required.fieldNames.contains("tags"))
+    new OsmScan(paths, required, spec)
+  }
+}
+
+final case class OsmInputPartition(path: String, format: String, start: Long, end: Long)
+  extends InputPartition
+
+final class OsmScan(paths: Seq[String], required: StructType, spec: OsmReadSpec)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"OsmScan(spec=$spec, columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    paths.foreach { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq.filter(_.isFile)
+        else Seq(fs.getFileStatus(path))
+      files.filter(_.getLen > 0).foreach { st =>
+        val f = st.getPath.toString
+        val fmt = OsmFileSource.formatOf(f)
+        if (fmt == "pbf") {
+          var off = 0L
+          while (off < st.getLen) {
+            val len = math.min(maxSplit, st.getLen - off)
+            parts += OsmInputPartition(f, fmt, off, off + len)
+            off += len
+          }
+        } else parts += OsmInputPartition(f, fmt, 0L, st.getLen)
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmReaderFactory(required.fieldNames, spec,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+}
+
+final class OsmReaderFactory(fields: Array[String], spec: OsmReadSpec,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OsmInputPartition]
+    new OsmPartitionReader(p, fields, spec, conf.value)
+  }
+}
+
+final class OsmPartitionReader(p: OsmInputPartition, fields: Array[String],
+    spec: OsmReadSpec, conf: Configuration) extends PartitionReader[InternalRow] {
+
+  private val iter: Iterator[OsmEntity] = {
+    val fs = new Path(p.path).getFileSystem(conf)
+    p.format match {
+      case "pbf" => new PbfRangeIterator(fs, new Path(p.path), p.start, p.end, spec)
+      case "o5m" =>
+        new O5mReader(new BufferedInputStream(fs.open(new Path(p.path)), 1 << 16), spec)
+      case _ =>
+        val raw: InputStream = new BufferedInputStream(fs.open(new Path(p.path)), 1 << 16)
+        val in = if (p.path.toLowerCase.endsWith(".gz")) new GZIPInputStream(raw) else raw
+        new OsmXmlReader(in, spec)
+    }
+  }
+
+  private var row: InternalRow = _
+
+  private def toRow(e: OsmEntity): InternalRow = {
+    val vals = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      vals(i) = fields(i) match {
+        case "kind" => UTF8String.fromString(e.kind)
+        case "id" => e.id
+        case "lat7" => e.lat7
+        case "lon7" => e.lon7
+        case "version" => e.version
+        case "tags" => new GenericArrayData(e.tags.map(t =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(t.key), UTF8String.fromString(t.value)))).toArray[Any])
+        case "refs" => new GenericArrayData(e.refs.toArray)
+        case "members" => new GenericArrayData(e.members.map(m =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(m.mtype), m.ref,
+            UTF8String.fromString(m.role)))).toArray[Any])
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def next(): Boolean =
+    if (iter.hasNext) { row = toRow(iter.next()); true } else false
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = iter match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
+}
+
+/**
+ * Iterates the entities of every PBF file block whose frame starts in
+ * [start, end). Resync: a frame begins with a 4-byte big-endian
+ * BlobHeader length followed by the BlobHeader message, whose first
+ * field is always `1: type` — i.e. bytes 0x0A 0x07 "OSMData" (or 0x09
+ * "OSMHeader"). The scanner looks for that signature, validates the
+ * frame (sane header length + datasize, and the FOLLOWING frame must
+ * also carry the signature or be EOF) and decodes from there; false
+ * positives inside compressed payloads fail the two-frame check.
+ */
+final class PbfRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
+    spec: OsmReadSpec) extends Iterator[OsmEntity] with AutoCloseable {
+
+  // the signatures MUST initialize before framePos: resync runs in the ctor
+  private val SigData: Array[Byte] =
+    Array[Byte](0x0a, 0x07, 'O', 'S', 'M', 'D', 'a', 't', 'a')
+  private val SigHeader: Array[Byte] =
+    Array[Byte](0x0a, 0x09, 'O', 'S', 'M', 'H', 'e', 'a', 'd', 'e', 'r')
+
+  private val fileLen = fs.getFileStatus(path).getLen
+  private val in = fs.open(path)
+  private var framePos: Long = if (start == 0L) 0L else resync(start)
+  private var pending: Iterator[OsmEntity] = Iterator.empty
+  private var closed = false
+
+  /** Valid frame at `pos`? Returns the next frame position, or -1. */
+  private def frameEndIfValid(pos: Long): Long = {
+    if (pos + 4 > fileLen) return -1
+    val head = new Array[Byte](4 + 64)
+    in.readFully(pos, head, 0, math.min(head.length, (fileLen - pos).toInt))
+    val headerLen = ((head(0) & 0xff) << 24) | ((head(1) & 0xff) << 16) |
+      ((head(2) & 0xff) << 8) | (head(3) & 0xff)
+    if (headerLen < 10 || headerLen > 64 || pos + 4 + headerLen > fileLen) return -1
+    val sigOk = SigData.indices.forall(i => head(4 + i) == SigData(i)) ||
+      SigHeader.indices.forall(i => head(4 + i) == SigHeader(i))
+    if (!sigOk) return -1
+    // parse datasize (field 3, varint) from the remaining header bytes
+    try {
+      val hb = new Array[Byte](headerLen)
+      in.readFully(pos + 4, hb, 0, headerLen)
+      val h = new PbfWire.In(hb)
+      var datasize = -1L
+      while (h.hasMore) h.tag() match {
+        case (3, 0) => datasize = h.varint()
+        case (_, w) => h.skip(w)
+      }
+      if (datasize <= 0 || datasize > (1L << 25)) -1
+      else pos + 4 + headerLen + datasize
+    } catch { case _: Exception => -1 }
+  }
+
+  /** First valid frame start at or after `from` (may be >= end). */
+  private def resync(from: Long): Long = {
+    val window = 1 << 20
+    val overlap = SigHeader.length + 4
+    val buf = new Array[Byte](window)
+    var base = from
+    while (base < fileLen) {
+      val n = math.min(window.toLong, fileLen - base).toInt
+      in.readFully(base, buf, 0, n)
+      var i = 0
+      while (i + SigData.length <= n) {
+        if (buf(i) == 0x0a && (buf(i + 1) == 0x07 || buf(i + 1) == 0x09)) {
+          val sig = if (buf(i + 1) == 0x07) SigData else SigHeader
+          if (i + sig.length <= n && sig.indices.forall(j => buf(i + j) == sig(j))) {
+            val cand = base + i - 4 // 4-byte BE length precedes the header
+            if (cand >= from) {
+              val nxt = frameEndIfValid(cand)
+              // two-frame validation kills in-payload false positives
+              if (nxt > 0 && (nxt >= fileLen || frameEndIfValid(nxt) > 0)) return cand
+            }
+          }
+        }
+        i += 1
+      }
+      if (base + n >= fileLen) return fileLen
+      base += n - overlap // re-scan the tail so straddling signatures are seen
+    }
+    fileLen
+  }
+
+  private def readFrame(pos: Long): (String, Array[Byte], Long) = {
+    val lenBuf = new Array[Byte](4)
+    in.readFully(pos, lenBuf, 0, 4)
+    val headerLen = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
+      ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
+    val hb = new Array[Byte](headerLen)
+    in.readFully(pos + 4, hb, 0, headerLen)
+    var blockType = ""
+    var datasize = -1
+    val h = new PbfWire.In(hb)
+    while (h.hasMore) h.tag() match {
+      case (1, 2) => blockType = h.str()
+      case (3, 0) => datasize = h.varint().toInt
+      case (_, w) => h.skip(w)
+    }
+    val blob = new Array[Byte](datasize)
+    in.readFully(pos + 4 + headerLen, blob, 0, datasize)
+    (blockType, PbfCodec.inflateBlob(blob), pos + 4 + headerLen + datasize)
+  }
+
+  private def fill(): Unit = {
+    while (!pending.hasNext && framePos < end && framePos < fileLen) {
+      val (blockType, data, nxt) = readFrame(framePos)
+      framePos = nxt
+      if (blockType == "OSMData")
+        pending = PbfCodec.decodePrimitiveBlock(data, spec).iterator
+    }
+  }
+
+  override def hasNext: Boolean = { fill(); pending.hasNext }
+  override def next(): OsmEntity = { fill(); pending.next() }
+  override def close(): Unit = if (!closed) { closed = true; in.close() }
+}

@@ -1,0 +1,250 @@
+package graft
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, FileInputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import scala.util.Random
+
+import graft.app.{Main, OsmSplit, SplitterArgs}
+import graft.formats._
+import graft.sources.{OsmFileSource, OsmScan}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The OSM-file path end to end: DSv2 source (S1-S3) with pushdown,
+ * byte-range-parallel PBF scanning, the per-tile sink (K1-K3), and the
+ * OsmSplit pipeline's keep-complete semantics.
+ */
+class OsmPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_osm").toString
+
+  /** Two dense hotspots so the solver must split; ways chain nearby
+    * nodes (some crossing between hotspots), relations nest. */
+  private def corpus(nNodes: Int = 4000): Vector[OsmEntity] = {
+    val rnd = new Random(7)
+    val nodes = Vector.tabulate(nNodes) { i =>
+      val hot = i % 2
+      val baseLat = if (hot == 0) 100000000 else 140000000 // 10N / 14N
+      val baseLon = if (hot == 0) 200000000 else 260000000
+      OsmEntity.node(1000L + i, baseLat + rnd.nextInt(20000000),
+        baseLon + rnd.nextInt(20000000), version = 1,
+        tags = if (i % 50 == 0) Vector(OsmTag("amenity", "cafe"),
+          OsmTag("created_by", "editor")) else Vector.empty)
+    }
+    val ways = Vector.tabulate(300) { i =>
+      // every 5th way spans both hotspots -> guaranteed problem ways
+      val refs =
+        if (i % 5 == 0) Vector(1000L + 2 * i, 1000L + 2 * i + 1, 1000L + 2 * i + 2)
+        else Vector.tabulate(4)(j => 1000L + 2 * i + 2 * j)
+      OsmEntity.way(50000L + i, refs, version = 1,
+        tags = Vector(OsmTag("highway", "track")))
+    }
+    val rels = Vector.tabulate(30) { i =>
+      val members =
+        Vector(OsmMember(OsmKind.Way, 50000L + i * 5, "outer"),
+          OsmMember(OsmKind.Node, 1000L + i * 7, "")) ++
+          (if (i < 10) Vector(OsmMember(OsmKind.Relation, 80000L + i + 1, "subarea"))
+           else Vector.empty)
+      OsmEntity.relation(80000L + i, members, version = 1,
+        tags = Vector(OsmTag("type", "multipolygon")))
+    }
+    nodes ++ ways ++ rels
+  }
+
+  private def writeFile(path: String, es: Seq[OsmEntity]): Unit = {
+    val fmt = OsmFileSource.formatOf(path)
+    val fos = new FileOutputStream(path)
+    fmt match {
+      case "o5m" =>
+        val w = new O5mWriter(fos); es.foreach(w.write); w.finish(); fos.close()
+      case "pbf" =>
+        val w = new PbfWriter(fos); es.foreach(w.write); w.finish(); fos.close()
+      case _ =>
+        val out = if (path.endsWith(".gz")) new GZIPOutputStream(fos) else fos
+        val w = new OsmXmlWriter(out); es.foreach(w.write); w.finish(); out.close()
+    }
+  }
+
+  private def key(e: OsmEntity) = (e.kind, e.id)
+
+  test("DSv2 source reads the same entities from o5m, xml.gz and pbf") {
+    val es = corpus(1200)
+    val dir = tmpDir()
+    for (ext <- Seq("a.o5m", "b.osm.gz", "c.pbf")) writeFile(s"$dir/$ext", es)
+    for (f <- Seq("a.o5m", "b.osm.gz", "c.pbf")) {
+      val df = spark.read.format("osm").load(s"$dir/$f")
+      assert(df.count() === es.size.toLong, f)
+      val nodes = df.where(col("kind") === "node")
+        .select("id", "lat7", "lon7").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(nodes === es.filter(_.kind == OsmKind.Node)
+        .map(e => (e.id, e.lat7, e.lon7)).toSet, f)
+      val tagged = df.where(col("kind") === "node" && size(col("tags")) > 0).count()
+      assert(tagged === es.count(e => e.kind == OsmKind.Node && e.tags.nonEmpty).toLong, f)
+      val rels = df.where(col("kind") === "relation")
+        .select(col("id"), expr("transform(members, m -> concat(m.mtype, ':', m.ref, ':', m.role))"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toVector)).toSet
+      assert(rels === es.filter(_.kind == OsmKind.Relation)
+        .map(e => (e.id, e.members.map(m => s"${m.mtype}:${m.ref}:${m.role}"))).toSet, f)
+    }
+  }
+
+  test("kind filter and column pruning push into the OSM scan") {
+    val dir = tmpDir()
+    writeFile(s"$dir/in.o5m", corpus(600))
+    val df = spark.read.format("osm").load(s"$dir/in.o5m")
+      .where(col("kind") === "node").select("id", "lat7")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head.asInstanceOf[OsmScan]
+    // ways/relations skipped at the decoder, tags never materialized
+    assert(scan.description().contains("OsmReadSpec(true,false,false,false)"),
+      scan.description())
+    assert(scan.readSchema().fieldNames.toSet.subsetOf(Set("kind", "id", "lat7")))
+    assert(df.count() === 600L)
+  }
+
+  test("PBF byte-range splits decode every block exactly once") {
+    val es = corpus(9000) // 9 node blocks + way/rel blocks at batchLimit 1000
+    val dir = tmpDir()
+    writeFile(s"$dir/in.pbf", es)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+      val df = spark.read.format("osm").load(s"$dir/in.pbf")
+      val nParts = df.rdd.getNumPartitions
+      assert(nParts > 3, s"expected multiple byte-range splits, got $nParts")
+      val got = df.select("kind", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.length === es.size, "no loss and no double-decode across split boundaries")
+      assert(got.toSet === es.map(key).toSet)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("OsmSplit.mapUnitCol matches the reference parse arithmetic exactly") {
+    import spark.implicits._
+    val vals = Seq(0, 1, -1, 467000000, -467000000, 849999999, -850000000,
+      1800000000, -1800000000, 123456789, -987654321)
+    val got = vals.toDF("v7").select(OsmSplit.mapUnitCol(col("v7"))).collect().map(_.getInt(0))
+    val want = vals.map { v7 =>
+      val deg = (100L * v7).toDouble * (1d / 1000000000)
+      graft.geo.MapUnits.toMapUnit(deg)
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("end-to-end OSM pipeline: split, problem list, complete o5m tiles") {
+    val es = corpus(4000)
+    val dir = tmpDir()
+    writeFile(s"$dir/in.o5m", es)
+    val out = s"$dir/out"
+    val Right(args) = SplitterArgs.parse(Seq(
+      "--output-dir=" + out, "--max-nodes=1200", "--resolution=13",
+      "--output=o5m", "--handle-element-version=keep", s"$dir/in.o5m"))
+    assert(Main.run(spark, args) === "dist")
+
+    // areas artifacts
+    val areas = graft.output.AreaWriters.readAreasList(s"$out/areas.list")
+    assert(areas.size > 1, "two hotspots must split")
+    assert(new java.io.File(s"$out/template.args").isFile)
+
+    // problem list names exactly the multi-tile ways/rels
+    val (pw, pr) = graft.output.AreaWriters.readProblemList(s"$out/problem.list")
+    assert(pw.nonEmpty, "hotspot-spanning ways must be problems")
+
+    // handle-problem-list artifact covers the same problem links
+    val linkTiles = spark.read.parquet(s"$out/link_tiles.parquet")
+    val artifactWays = linkTiles.where(col("kind") === "way")
+      .select("link_id").distinct().collect().map(_.getLong(0).toString).toSet
+    assert(artifactWays === pw.toSet)
+    val artifactRels = linkTiles.where(col("kind") === "relation")
+      .select("link_id").distinct().collect().map(_.getLong(0).toString).toSet
+    assert(artifactRels === pr.toSet)
+
+    // tiles parse; keep-complete invariants hold
+    val byId = es.map(e => key(e) -> e).toMap
+    var waysSeen = Set.empty[Long]
+    var relsSeen = Set.empty[Long]
+    areas.foreach { ad =>
+      val f = new java.io.File(s"$out/tiles", f"${ad.mapId}%08d.o5m")
+      assert(f.isFile, s"missing tile ${f.getName}")
+      val r = new O5mReader(new BufferedInputStream(new FileInputStream(f)))
+      val tile = r.toVector
+      r.close()
+      val nodeIds = tile.filter(_.kind == OsmKind.Node).map(_.id).toSet
+      val wayIds = tile.filter(_.kind == OsmKind.Way).map(_.id).toSet
+      tile.filter(_.kind == OsmKind.Way).foreach { w =>
+        waysSeen += w.id
+        byId(OsmKind.Way -> w.id).refs.foreach(ref =>
+          assert(nodeIds.contains(ref), s"way ${w.id} incomplete in tile ${ad.mapId}"))
+      }
+      tile.filter(_.kind == OsmKind.Relation).foreach { rel =>
+        relsSeen += rel.id
+        byId(OsmKind.Relation -> rel.id).members.foreach {
+          case OsmMember(OsmKind.Node, ref, _) =>
+            assert(nodeIds.contains(ref), s"rel ${rel.id} node $ref missing in ${ad.mapId}")
+          case OsmMember(OsmKind.Way, ref, _) =>
+            assert(wayIds.contains(ref), s"rel ${rel.id} way $ref missing in ${ad.mapId}")
+          case _ => () // sub-relations verified via relsSeen totality
+        }
+      }
+      // created_by dropped by the sink
+      assert(tile.forall(_.tags.forall(_.key != "created_by")))
+      // versions kept under --handle-element-version=keep
+      assert(tile.forall(_.version == 1))
+    }
+    assert(waysSeen === es.filter(_.kind == OsmKind.Way).map(_.id).toSet)
+    assert(relsSeen === es.filter(_.kind == OsmKind.Relation).map(_.id).toSet)
+
+    // node totality: every node appears in >= 1 tile
+    val allTileNodes = areas.flatMap { ad =>
+      val r = new O5mReader(new BufferedInputStream(new FileInputStream(
+        new java.io.File(s"$out/tiles", f"${ad.mapId}%08d.o5m"))))
+      val ids = r.filter(_.kind == OsmKind.Node).map(_.id).toVector
+      r.close(); ids
+    }.toSet
+    assert(allTileNodes === es.filter(_.kind == OsmKind.Node).map(_.id).toSet)
+  }
+
+  test("xml and pbf tile sinks produce parseable, equivalent tiles") {
+    val es = corpus(1500)
+    val dir = tmpDir()
+    writeFile(s"$dir/in.pbf", es)
+    val results = Seq("xml", "pbf").map { fmt =>
+      val out = s"$dir/out_$fmt"
+      val Right(args) = SplitterArgs.parse(Seq(
+        "--output-dir=" + out, "--max-nodes=800", s"--output=$fmt", s"$dir/in.pbf"))
+      assert(Main.run(spark, args) === "dist")
+      val areas = graft.output.AreaWriters.readAreasList(s"$out/areas.list")
+      val tiles = areas.map { ad =>
+        val ext = graft.output.OsmTileSink.extensionOf(fmt)
+        val f = new java.io.File(s"$out/tiles", f"${ad.mapId}%08d.$ext")
+        assert(f.isFile)
+        val entities = fmt match {
+          case "xml" =>
+            val r = new OsmXmlReader(new GZIPInputStream(new FileInputStream(f)))
+            val v = r.toVector; r.close(); v
+          case _ =>
+            val r = new PbfReader(new BufferedInputStream(new FileInputStream(f)))
+            val v = r.toVector; r.close(); v
+        }
+        ad.mapId -> entities.map(key).toSet
+      }.toMap
+      tiles
+    }
+    // same membership through either sink format
+    assert(results(0) === results(1))
+  }
+}
