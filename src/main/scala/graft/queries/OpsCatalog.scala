@@ -151,6 +151,37 @@ object OpsCatalog {
         nCentroids = 8, iters = 2, nProbe = 2)
     }),
 
+    // product quantization: 64 float32 dims packed to ONE 8-byte code
+    // (8 subspaces x 4-bit codebook index) as a zero-exchange
+    // literal-codebook projection — the IVF-PQ storage path that lets
+    // a 100 TB corpus' inverted lists live at ~3% of raw size
+    "q_pq_codes" -> ((s, dir) => Similarity.pqCodes(emb(s, dir), m = 8, kSub = 16)),
+
+    // IVF-PQ search: coarse inverted lists + PQ-reconstruction ADC
+    // scoring (one sequential float64 dot against the concatenated
+    // codebook lookups -> bit-reproducible in the oracle)
+    "q_ivfpq_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqSearch(e, e.where(col("vec_id") < 10), k = 3,
+        nCentroids = 8, nProbe = 2, m = 8, kSub = 16)
+    }),
+
+    // ANN evaluation harness: per-query recall@3 of the IVF probe
+    // search against the brute-force ground truth (integer percent —
+    // no float aggregation)
+    "q_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(e, q, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfSearch(e, q, k = 3, nCentroids = 16, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("query_id"), expr("(100 * hits) div 3").as("recall_pct"))
+    }),
+
     "q_embed_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.5, maxId = 300)),
 
@@ -173,6 +204,26 @@ object OpsCatalog {
         conv(substring(md5(concat(lit("smp"), col("doc_id").cast("string"))),
           1, 15), 16, 10).cast("long") % 100 < 10)
         .select(col("doc_id"))),
+
+    // stratified deterministic sampling: bottom-k by salted hash per
+    // stratum (uniform without replacement, reproducible across runs,
+    // engines and partitionings). Two-level: bottom-k inside each of
+    // 64 hash buckets in parallel, then bottom-k of the 64*k
+    // survivors — identical output to one stratum-wide sort, but no
+    // 100 TB stratum ever sorts inside a single task
+    "q_sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 25
+      val h = conv(substring(md5(concat(lit("strat"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long")
+      val base = docs(s, dir).select(col("source"), col("doc_id"), h.as("h"))
+        .withColumn("b", pmod(col("h"), lit(64L)))
+      val w1 = Window.partitionBy("source", "b").orderBy(col("h"), col("doc_id"))
+      val w2 = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      base.withColumn("r1", row_number().over(w1)).where(col("r1") <= k)
+        .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+        .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+    }),
 
     // vocabulary building: global token frequencies with a count
     // floor — one explode + one hash aggregation, map-side combined
@@ -507,6 +558,61 @@ object OpsCatalog {
       "FROM scored) WHERE rank <= 3"
   }
 
+  /** Shared PQ CTE bodies: `sub` = the codebook (subspace j, index
+    * idx, 8-dim subvector = slice of the first-16 vectors, like
+    * Similarity.pqCodebooks) and `codes` = each vector's per-subspace
+    * argmax index (highest float64 sub-dot, ties to lowest index). */
+  private def pqCtesSql: String = {
+    val m = 8; val sub = 8; val kSub = 16
+    def sliceSql(v: String, j: String) =
+      s"(CAST($v AS DOUBLE[]))[($j*$sub+1):($j*$sub+$sub)]"
+    s"sub AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS idx, " +
+      s"${sliceSql("embedding", "j")} AS bv " +
+      s"FROM embeddings, (SELECT unnest(generate_series(0, ${m - 1})) AS j) js " +
+      s"WHERE vec_id < $kSub), " +
+      "codes AS (SELECT vec_id, j, idx FROM (" +
+      "SELECT v.vec_id, s.j, s.idx, row_number() OVER (PARTITION BY v.vec_id, s.j " +
+      s"ORDER BY list_dot_product(${sliceSql("v.embedding", "s.j")}, s.bv) DESC, s.idx) AS rn " +
+      "FROM embeddings v, sub s) WHERE rn = 1)"
+  }
+
+  private def pqCodesSql: String =
+    s"WITH $pqCtesSql " +
+      "SELECT vec_id, CAST(SUM(idx << (4 * j)) AS BIGINT) AS pq_code " +
+      "FROM codes GROUP BY vec_id"
+
+  private def ivfPqSearchSql: String =
+    s"WITH $pqCtesSql, " +
+      "recon AS (SELECT c.vec_id, flatten(list(s.bv ORDER BY c.j)) AS rv " +
+      "FROM codes c JOIN sub s ON s.j = c.j AND s.idx = c.idx GROUP BY c.vec_id), " +
+      "cents AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centv " +
+      "FROM embeddings WHERE vec_id < 8), " +
+      "lists AS (SELECT neighbor_id, centroid_id FROM (" +
+      "SELECT v.vec_id AS neighbor_id, c.centroid_id, " +
+      "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      dotSql("v.embedding", "c.centv") + " DESC, c.centroid_id) AS rn " +
+      "FROM embeddings v, cents c) WHERE rn = 1), " +
+      "probes AS (SELECT query_id, qv, centroid_id FROM (" +
+      "SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.centroid_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      dotSql("q.embedding", "c.centv") + " DESC, c.centroid_id) AS rn " +
+      "FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 2), " +
+      "scored AS (SELECT query_id, neighbor_id, " +
+      "max(list_dot_product(p.qv, r.rv)) AS score " +
+      "FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id " +
+      "AND l.neighbor_id <> p.query_id " +
+      "JOIN recon r ON r.vec_id = l.neighbor_id GROUP BY 1, 2) " +
+      "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (" +
+      "SELECT query_id, neighbor_id, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
+      "FROM scored) WHERE rank <= 3"
+
+  private def annRecallSql: String =
+    s"WITH truth AS (${topkSql(3)}), approx AS ($ivfSearchSql) " +
+      "SELECT t.query_id, CAST((100 * count(a.neighbor_id)) // 3 AS BIGINT) AS recall_pct " +
+      "FROM truth t LEFT JOIN approx a ON a.query_id = t.query_id " +
+      "AND a.neighbor_id = t.neighbor_id GROUP BY t.query_id"
+
   private def embedDupLshSql: String =
     "WITH b AS (SELECT vec_id, embedding, " + bucketSql("embedding", 4) +
       " AS bucket FROM embeddings) " +
@@ -571,6 +677,17 @@ object OpsCatalog {
       "CAST(('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) " +
       "% 100 < 10"
 
+  /** One stratum-wide window — the small-scale reference for the
+    * engine's two-level bucket formulation (identical output: the
+    * stratum bottom-k is inside every bucket's bottom-k). */
+  private def sampleStratifiedSql: String =
+    "SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (" +
+      "SELECT source, doc_id, row_number() OVER (" +
+      "PARTITION BY source ORDER BY h, doc_id) AS rk FROM (" +
+      "SELECT source, doc_id, " +
+      "CAST(('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h " +
+      "FROM documents)) WHERE rk <= 25"
+
   private def vocabSql: String =
     "SELECT tok, CAST(count(*) AS BIGINT) AS n FROM " +
       "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
@@ -624,6 +741,7 @@ object OpsCatalog {
 
   val oracles: Map[String, String] = Map(
     "q_sample" -> sampleSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
     "q_vocab" -> vocabSql,
     "q_repetition" -> repetitionSql,
     "q_percentile" -> percentileSql,
@@ -657,6 +775,9 @@ object OpsCatalog {
     "q_ann_multiprobe" -> annMultiProbeSql,
     "q_ivf_search" -> ivfSearchSql,
     "q_ivf_search_trained" -> ivfTrainedSql,
+    "q_pq_codes" -> pqCodesSql,
+    "q_ivfpq_search" -> ivfPqSearchSql,
+    "q_ann_recall" -> annRecallSql,
     "q_embed_dup" -> embedDupSql,
     "q_embed_dup_lsh" -> embedDupLshSql,
     "q_langid" -> langIdSql,

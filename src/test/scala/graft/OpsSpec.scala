@@ -114,6 +114,57 @@ class OpsSpec extends AnyFunSuite {
       s"ivfAssignTrained must not shuffle:\n$planT")
   }
 
+  test("PQ codes: zero-exchange projection, 4-bit fields, deterministic") {
+    val codes = Similarity.pqCodes(emb, m = 8, kSub = 16)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pqCodes must be a literal-codebook projection, no shuffle:\n$plan")
+    val rows = codes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length.toLong === emb.count())
+    rows.foreach { case (_, c) =>
+      assert(c >= 0 && c < (1L << 32), s"packed code out of range: $c")
+      (0 until 8).foreach(j => assert(((c >> (4 * j)) & 0xFL) < 16))
+    }
+    val again = Similarity.pqCodes(emb, m = 8, kSub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.toMap === again, "PQ coding must be deterministic")
+  }
+
+  test("IVF-PQ search: rank contract and probe containment") {
+    val queries = emb.where(col("vec_id") < 10)
+    val res = Similarity.ivfPqSearch(emb, queries, k = 3,
+      nCentroids = 8, nProbe = 2, m = 8, kSub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._3).sorted.toList == (1L to rows.length).toList)
+    }
+    // every returned neighbor must live in one of its query's nProbe
+    // probed inverted lists (same driver-side argmax + tie-break)
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cents = emb.where(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    def scoresOf(v: Array[Double]) =
+      cents.map { case (cid, cv) => (dotd(v, cv), -cid) }
+    def probes2(v: Array[Double]): Set[Long] =
+      scoresOf(v).sorted.reverse.take(2).map(-_._2).toSet
+    def nearest(v: Array[Double]): Long = -scoresOf(v).max._2
+    res.foreach { case (q, n, _) =>
+      assert(probes2(vecs(q)).contains(nearest(vecs(n))),
+        s"neighbor $n of query $q came from an unprobed list")
+    }
+  }
+
   test("trained IVF: integer-exact Lloyd rounds are bit-deterministic") {
     def train() = Similarity
       .kmeansCentroids(emb, 8, iters = 2, exactScale = Some(1L << 20))
