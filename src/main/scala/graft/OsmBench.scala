@@ -132,6 +132,12 @@ object OsmBench {
     try new ProcessBuilder("sync").start().waitFor()
     catch { case _: Exception => () }
 
+    // fan the single planet.pbf out across the level's cores: the
+    // scan splits PBF byte ranges at spark.sql.files.maxPartitionBytes
+    // (default 128 MB — one partition for any test-size file)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      math.max(pbfBytes / (cpus * 2L), 1L << 20).toString)
+
     // full-decode aggregate: references every column so nothing prunes
     def fullScan(path: String): Unit = {
       val df = spark.read.format("osm").load(path)

@@ -184,9 +184,14 @@ object OsmSplit {
       ents.where(col("kind") === lit(kind))
         .join(pairs.distinct().withColumn("map_id", col("tid") + startId)
           .drop("tid"), "id")
+    // one materialization serves every write pass AND the metrics
+    // count — without it, each --max-areas pass and recordMetrics
+    // re-runs the full join tree (including three source decodes);
+    // disk-backed, so the working set never has to fit in memory
     val assembled = assignedOf("node", nodeBase.unionByName(nodeExtra))
       .unionByName(assignedOf("way", wayAll))
       .unionByName(assignedOf("relation", relAssign))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val mapIds = areas.map(_.mapId)
     a.output match {
@@ -213,6 +218,7 @@ object OsmSplit {
           }
     }
     SplitPipeline.recordMetrics(assembled, "dist", outDir)
+    assembled.unpersist(false)
     "dist"
   }
 }
