@@ -366,6 +366,55 @@ object TextDedup {
       .distinct()
   }
 
+  /** Position-preserving variant of [[charShingleHashes]]:
+    * (id, i, gram_hash) for every FULL n-gram start position i
+    * (1-based), hash applied map-side. Not deduplicated — the span
+    * sessionization below needs every position. */
+  def charShingleHashPositions(docs: DataFrame, n: Int,
+                               id: String = "doc_id",
+                               text: String = "text"): DataFrame =
+    docs.select(col(id), col(text),
+        explode(sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))))
+          .as("i"))
+      .select(col(id), col("i"),
+        substring(col(text), col("i"), lit(n)).as("gram"))
+      .where(length(col("gram")) === n)
+      .select(col(id), col("i").cast("long").as("i"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_hash"))
+
+  /**
+   * Maximal duplicated spans — the ranges Lee et al.-style dedup
+   * actually CUTS from documents: per-doc character intervals covered
+   * by n-grams appearing in >= 2 distinct documents, with
+   * overlapping/adjacent gram intervals merged (two fixed-length-n
+   * intervals merge iff their start gap <= n). Output
+   * (doc_id, span_start, span_end, n_grams), 1-based inclusive char
+   * offsets. Scale shape: dup-gram detection shuffles 8-byte map-side
+   * gram hashes; the sessionization windows are PER DOC (shuffle key
+   * doc_id, sort bounded by doc length) — never a global window.
+   */
+  def dupSpanRanges(docs: DataFrame, n: Int = 20,
+                    id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = charShingleHashPositions(docs, n, id, text)
+    val dup = charShingleHashes(docs, n, fullOnly = true, id, text)
+      .groupBy("gram_hash").agg(count(lit(1)).as("nd")) // distinct (doc, hash) rows
+      .where(col("nd") >= 2).select("gram_hash")
+    val hits = pos.join(dup, "gram_hash").select(col(id), col("i"))
+    val w = Window.partitionBy(col(id)).orderBy(col("i"))
+    val flagged = hits
+      .withColumn("prev", lag(col("i"), 1).over(w))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("i") - col("prev") > n, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col(id), col("grp"))
+      .agg(min(col("i")).as("s"), max(col("i")).as("e"),
+        count(lit(1)).as("n_grams"))
+      .select(col(id), col("s").as("span_start"),
+        (col("e") + (n - 1)).as("span_end"), col("n_grams"))
+  }
+
   /**
    * Exact n-gram Jaccard for all pairs within a bounded id range
    * (the verification stage downstream of LSH candidates):

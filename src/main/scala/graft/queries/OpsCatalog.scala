@@ -271,6 +271,13 @@ object OpsCatalog {
           max(col("doc_id")).as("last_doc"))
         .where(col("n_docs") >= 2)),
 
+    // maximal duplicated spans: the per-doc char ranges a span-level
+    // dedup cuts — duplicated 20-grams sessionized into merged
+    // intervals (per-doc windows only; 8-byte gram hashes on every
+    // detection exchange)
+    "q_dup_span_merge" -> ((s, dir) =>
+      TextDedup.dupSpanRanges(docs(s, dir).where(col("doc_id") < 500), 20)),
+
     // benchmark decontamination: training docs sharing any character
     // 13-gram with a held-out eval set (synthetic: doc_id % 97 == 0)
     // are flagged with their shared-gram count. Equi-join on the
@@ -420,6 +427,30 @@ object OpsCatalog {
   /** 60-bit md5 hash, the engine's cross-engine-stable shuffle key. */
   private def hash60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Position-preserving 20-gram hashes -> dup set -> per-doc
+    * sessionized maximal spans (mirrors TextDedup.dupSpanRanges). */
+  private def dupSpanMergeSql: String = {
+    val n = 20
+    "WITH g AS (SELECT doc_id, i, " + hash60Sql("gram") + " AS gram_hash " +
+      s"FROM (SELECT doc_id, i, substr(text, CAST(i AS INT), $n) AS gram " +
+      "FROM (SELECT doc_id, text, " +
+      s"unnest(generate_series(1, GREATEST(len(text) - ${n - 1}, 1))) AS i " +
+      "FROM documents WHERE doc_id < 500) d) e " +
+      s"WHERE len(gram) = $n), " +
+      "dup AS (SELECT gram_hash FROM (SELECT DISTINCT doc_id, gram_hash FROM g) " +
+      "GROUP BY gram_hash HAVING count(*) >= 2), " +
+      "p AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram_hash)), " +
+      "f AS (SELECT doc_id, i, CASE WHEN " +
+      "lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL OR " +
+      s"i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $n " +
+      "THEN 1 ELSE 0 END AS new_span FROM p), " +
+      "s AS (SELECT doc_id, i, SUM(new_span) OVER (" +
+      "PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS grp FROM f) " +
+      "SELECT doc_id, MIN(i) AS span_start, " +
+      s"MAX(i) + ${n - 1} AS span_end, CAST(COUNT(*) AS BIGINT) AS n_grams " +
+      "FROM s GROUP BY doc_id, grp"
+  }
 
   private def ngramJaccardSql: String =
     s"WITH grams AS ${gramsSql(3, "WHERE doc_id < 200")}, " +
@@ -796,6 +827,7 @@ object OpsCatalog {
         s"${gramsSql(13, "WHERE doc_id % 97 <> 0 AND doc_id < 2000")} t) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
         "FROM train WHERE gram_hash IN (SELECT gram_hash FROM bench) GROUP BY doc_id"),
+    "q_dup_span_merge" -> dupSpanMergeSql,
     "q_media_extract" -> mediaDecodedSql,
     "q_frame_sample" -> frameSampleSql)
 }
