@@ -85,17 +85,28 @@ object OsmBench {
 
   private def writeAll(path: String, es: Iterator[OsmEntity]): Long = {
     val fos = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
-    val w: AnyRef = OsmBenchFormat.of(path) match {
-      case "pbf" => new PbfWriter(fos)
-      case "o5m" => new O5mWriter(fos)
-      case other => throw new IllegalArgumentException(other)
-    }
-    w match {
-      case p: PbfWriter => es.foreach(p.write); p.finish()
-      case o: O5mWriter => es.foreach(o.write); o.finish()
+    graft.sources.OsmFileSource.formatOf(path) match {
+      case "pbf" => val w = new PbfWriter(fos); es.foreach(w.write); w.finish()
+      case "o5m" => val w = new O5mWriter(fos); es.foreach(w.write); w.finish()
+      case other => throw new IllegalArgumentException(
+        s"unsupported bench corpus format: $other")
     }
     fos.close()
     new java.io.File(path).length()
+  }
+
+  /** One pass over the corpus dispatching to `n` o5m shard writers
+    * (writer index = id % n) — identical shards to n filtered passes
+    * at 1/n the generation cost. */
+  private def writeShards(dir: String, n: Int, es: Iterator[OsmEntity]): Long = {
+    val sinks = Array.tabulate(n) { s =>
+      val fos = new BufferedOutputStream(
+        new FileOutputStream(s"$dir/part-$s.o5m"), 1 << 16)
+      (fos, new O5mWriter(fos))
+    }
+    es.foreach(e => sinks((e.id % n).toInt)._2.write(e))
+    sinks.foreach { case (fos, w) => w.finish(); fos.close() }
+    (0 until n).map(s => new java.io.File(s"$dir/part-$s.o5m").length()).sum
   }
 
   private def timed(f: => Unit): Double = {
@@ -125,10 +136,7 @@ object OsmBench {
     val o5mBytes = writeAll(s"$dir/planet.o5m", entities(nNodes))
     val shardDir = s"$dir/shards"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
-    val shardBytes = (0 until 8).map { s =>
-      writeAll(s"$shardDir/part-$s.o5m",
-        entities(nNodes).filter(e => (e.id % 8) == s))
-    }.sum
+    val shardBytes = writeShards(shardDir, 8, entities(nNodes))
     try new ProcessBuilder("sync").start().waitFor()
     catch { case _: Exception => () }
 
@@ -171,19 +179,23 @@ object OsmBench {
 
     def mbps(bytes: Long, sec: Double) = bytes / 1e6 / sec
     def eps(sec: Double) = nEnts / sec
+    // locale-independent number formatting (the f interpolator uses
+    // the JVM default locale — comma decimals would break the JSON)
+    def fmt(v: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     val json =
-      f"""{"bench":"osm","cpus":$cpus,"nodes":$nNodes,"entities":$nEnts,""" +
-        f""""pbf_mb":${pbfBytes / 1e6}%.1f,"o5m_mb":${o5mBytes / 1e6}%.1f,""" +
-        f""""shards_mb":${shardBytes / 1e6}%.1f,""" +
-        f""""pbf_partitions":$pbfParts,"o5m_shard_partitions":$o5mShardParts,""" +
-        f""""scan_pbf_sec":$tScanPbf%.3f,"scan_pbf_ents_per_sec":${eps(tScanPbf)}%.0f,""" +
-        f""""scan_pbf_mb_per_sec":${mbps(pbfBytes, tScanPbf)}%.1f,""" +
-        f""""scan_pbf_ways_sec":$tScanPbfWays%.3f,""" +
-        f""""scan_o5m_shards_sec":$tScanShards%.3f,""" +
-        f""""scan_o5m_shards_ents_per_sec":${eps(tScanShards)}%.0f,""" +
-        f""""scan_o5m_shards_mb_per_sec":${mbps(shardBytes, tScanShards)}%.1f,""" +
-        f""""split_e2e_sec":$tSplit%.3f,"split_e2e_ents_per_sec":${eps(tSplit)}%.0f,""" +
-        f""""tiles":$nTiles}"""
+      s"""{"bench":"osm","cpus":$cpus,"nodes":$nNodes,"entities":$nEnts,""" +
+        s""""pbf_mb":${fmt(pbfBytes / 1e6, 1)},"o5m_mb":${fmt(o5mBytes / 1e6, 1)},""" +
+        s""""shards_mb":${fmt(shardBytes / 1e6, 1)},""" +
+        s""""pbf_partitions":$pbfParts,"o5m_shard_partitions":$o5mShardParts,""" +
+        s""""scan_pbf_sec":${fmt(tScanPbf, 3)},"scan_pbf_ents_per_sec":${fmt(eps(tScanPbf), 0)},""" +
+        s""""scan_pbf_mb_per_sec":${fmt(mbps(pbfBytes, tScanPbf), 1)},""" +
+        s""""scan_pbf_ways_sec":${fmt(tScanPbfWays, 3)},""" +
+        s""""scan_o5m_shards_sec":${fmt(tScanShards, 3)},""" +
+        s""""scan_o5m_shards_ents_per_sec":${fmt(eps(tScanShards), 0)},""" +
+        s""""scan_o5m_shards_mb_per_sec":${fmt(mbps(shardBytes, tScanShards), 1)},""" +
+        s""""split_e2e_sec":${fmt(tSplit, 3)},"split_e2e_ents_per_sec":${fmt(eps(tSplit), 0)},""" +
+        s""""tiles":$nTiles}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("osm_bench_result.json"), json + "\n")
@@ -192,11 +204,4 @@ object OsmBench {
     try new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
     catch { case _: Throwable => () }
   }
-}
-
-private object OsmBenchFormat {
-  def of(path: String): String =
-    if (path.endsWith(".pbf")) "pbf"
-    else if (path.endsWith(".o5m")) "o5m"
-    else "xml"
 }

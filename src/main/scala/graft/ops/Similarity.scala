@@ -177,33 +177,38 @@ object Similarity {
   def ivfSearch(candidates: DataFrame, queries: DataFrame, k: Int,
                 nCentroids: Int = 16, nProbe: Int = 2,
                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = collectCentroids(candidates.where(col(id) < nCentroids), id, vec)
     // candidate lists: literal-centroid argmax projection, zero
     // exchanges on the corpus side
     val lists = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"),
       nearestCentroid(col(vec), cents).as("centroid_id"))
-    // query probes: top-nProbe centroids per query, also a projection
-    // (sort the literal score array, slice, explode) on the small
-    // broadcast side — sort_array desc on struct(score, negid) is
-    // (score desc, centroid_id asc), same order as the old window
-    val qProbes = broadcast(queries
+    probeSearch(lists, probesOf(queries, cents, nProbe, id, vec), k)
+  }
+
+  /** Query probes (query_id, qv, centroid_id): each query's top-nProbe
+    * centroids as a projection on the small broadcast side (sort the
+    * literal score array, slice, explode) — sort_array desc on
+    * struct(score, negid) is (score desc, centroid_id asc), the same
+    * order as a window formulation. Shared by every IVF search. */
+  private def probesOf(queries: DataFrame, cents: Seq[(Long, Seq[Double])],
+                       nProbe: Int, id: String, vec: String): DataFrame =
+    broadcast(queries
       .select(col(id).as("query_id"), col(vec).as("qv"),
         explode(slice(sort_array(centroidScores(col(vec), cents), asc = false),
           1, nProbe)).as("probe"))
       .select(col("query_id"), col("qv"),
         (-col("probe.negid")).as("centroid_id")))
-    probeSearch(lists, qProbes, k)
-  }
 
   /** Shared IVF probe-search tail: equi-join query probes against
-    * inverted lists, exact cosine, per-query top-k. */
-  private def probeSearch(lists: DataFrame, qProbes: DataFrame, k: Int): DataFrame = {
+    * inverted lists, score (exact cosine by default; IVF-PQ passes
+    * the reconstruction dot), per-query top-k. */
+  private def probeSearch(lists: DataFrame, qProbes: DataFrame, k: Int,
+                          score: (Column, Column) => Column = cosine): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = qProbes.join(lists, "centroid_id")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("sim"))
+        score(col("qv"), col("cv")).as("sim"))
       .groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -291,13 +296,7 @@ object Similarity {
     val cents = collectCentroids(trained, "centroid_id", "centroid")
     val lists = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"),
       nearestCentroid(col(vec), cents).as("centroid_id"))
-    val qProbes = broadcast(queries
-      .select(col(id).as("query_id"), col(vec).as("qv"),
-        explode(slice(sort_array(centroidScores(col(vec), cents), asc = false),
-          1, nProbe)).as("probe"))
-      .select(col("query_id"), col("qv"),
-        (-col("probe.negid")).as("centroid_id")))
-    probeSearch(lists, qProbes, k)
+    probeSearch(lists, probesOf(queries, cents, nProbe, id, vec), k)
   }
 
   // ------------------------------------------------------------------
@@ -381,29 +380,16 @@ object Similarity {
                   nCentroids: Int = 8, nProbe: Int = 2, m: Int = 8,
                   kSub: Int = 16, dims: Int = 64,
                   id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = collectCentroids(candidates.where(col(id) < nCentroids), id, vec)
     val books = pqCodebooks(candidates, m, kSub, dims, id, vec)
     val sub = dims / m
+    // "cv" carries the PQ reconstruction: the shared probe-search tail
+    // scores it with the raw dot (ADC), not cosine
     val lists = candidates.select(col(id).as("neighbor_id"),
       nearestCentroid(col(vec), cents).as("centroid_id"),
-      pqReconstruct(col(vec), books, sub).as("rv"))
-    val qProbes = broadcast(queries
-      .select(col(id).as("query_id"), col(vec).as("qv"),
-        explode(slice(sort_array(centroidScores(col(vec), cents), asc = false),
-          1, nProbe)).as("probe"))
-      .select(col("query_id"), col("qv"),
-        (-col("probe.negid")).as("centroid_id")))
-    val scored = qProbes.join(lists, "centroid_id")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        dot(col("qv"), col("rv")).as("score"))
-      .groupBy("query_id", "neighbor_id").agg(max(col("score")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      pqReconstruct(col(vec), books, sub).as("cv"))
+    probeSearch(lists, probesOf(queries, cents, nProbe, id, vec), k,
+      score = dot)
   }
 
   /** Exact near-duplicate pairs by cosine threshold within an id range

@@ -225,6 +225,19 @@ object OpsCatalog {
         .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
     }),
 
+    // sliding-window chunking with overlap (window 512, stride 448 =
+    // 64-token overlap) — the RAG/pretraining chunker as a pure
+    // map-side explode: 1-based inclusive token offsets per chunk,
+    // last chunk clipped to the doc. Zero shuffles.
+    "q_chunk_overlap" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(0L), expr("(n_tokens - 1) div 448"))).as("ci"))
+        .select(col("doc_id"), col("ci").as("chunk_idx"),
+          (col("ci") * 448 + 1).as("chunk_start"),
+          least(col("ci") * 448 + 512, col("n_tokens")).as("chunk_end"))),
+
     // vocabulary building: global token frequencies with a count
     // floor — one explode + one hash aggregation, map-side combined
     "q_vocab" -> ((s, dir) =>
@@ -773,6 +786,14 @@ object OpsCatalog {
   val oracles: Map[String, String] = Map(
     "q_sample" -> sampleSql,
     "q_sample_stratified" -> sampleStratifiedSql,
+    "q_chunk_overlap" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, " +
+        "unnest(generate_series(0, (n_tokens - 1) // 448)) AS ci FROM t) " +
+        "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, " +
+        "CAST(ci * 448 + 1 AS BIGINT) AS chunk_start, " +
+        "CAST(LEAST(ci * 448 + 512, n_tokens) AS BIGINT) AS chunk_end FROM c"),
     "q_vocab" -> vocabSql,
     "q_repetition" -> repetitionSql,
     "q_percentile" -> percentileSql,
