@@ -215,6 +215,40 @@ public final class RefFormats {
         }
     }
 
+    /** Count-only processor: parse throughput measurement without the
+     * dump's PrintWriter I/O skewing the timing. */
+    private static final class Counter implements MapProcessor {
+        long nodes, ways, rels;
+        @Override public boolean skipTags() { return false; }
+        @Override public boolean skipNodes() { return false; }
+        @Override public boolean skipWays() { return false; }
+        @Override public boolean skipRels() { return false; }
+        @Override public int getPhase() { return 1; }
+        @Override public void boundTag(Area b) {}
+        @Override public void processNode(Node n) { nodes++; }
+        @Override public void processWay(Way w) { ways++; }
+        @Override public void processRelation(Relation r) { rels++; }
+        @Override public boolean endMap() { return true; }
+        @Override public boolean consume(BlockingQueue<OSMMessage> queue) { return false; }
+        @Override public void startFile() {}
+    }
+
+    /** count-o5m <file.o5m> <rounds>: parse with the genuine reference
+     * parser, print per-round wall seconds + entity counts. */
+    private static void countO5m(String file, int rounds) throws IOException {
+        for (int r = 0; r < rounds; r++) {
+            Counter c = new Counter();
+            long t0 = System.nanoTime();
+            try (FileInputStream fis = new FileInputStream(file);
+                 FileChannel fc = fis.getChannel()) {
+                new O5mMapParser(c, fc, null).parse();
+            }
+            double sec = (System.nanoTime() - t0) / 1e9;
+            System.out.println("COUNT " + sec + " " + c.nodes + " " + c.ways
+                    + " " + c.rels);
+        }
+    }
+
     public static void main(String[] args) throws Exception {
         switch (args[0]) {
         case "write-o5m":
@@ -226,6 +260,9 @@ public final class RefFormats {
             break;
         case "parse-o5m":
             parseO5m(args[1], args[2]);
+            break;
+        case "count-o5m":
+            countO5m(args[1], args.length > 2 ? Integer.parseInt(args[2]) : 3);
             break;
         default:
             throw new IllegalArgumentException("unknown mode " + args[0]);
