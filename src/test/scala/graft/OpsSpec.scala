@@ -165,6 +165,104 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-span merge: maximal, disjoint, and covers planted duplicates") {
+    // two docs sharing one long substring + one doc with two separated
+    // duplicated regions -> spans must be found in both sharers,
+    // maximal (no two mergeable spans left), and disjoint
+    val dupA = "the quick brown fox jumps over the lazy dog repeatedly"
+    val dupB = "colorless green ideas sleep furiously in the afternoon"
+    val fixture = spark.createDataFrame(Seq(
+      (1L, s"unique-prefix-one $dupA unique-suffix-one"),
+      (2L, s"unique-prefix-two-longer $dupA mid-filler-text $dupB tail-two"),
+      (3L, s"start-three $dupB end-of-three"),
+      (4L, "no duplicates whatsoever in this entirely singular document")
+    )).toDF("doc_id", "text")
+    val n = 20
+    val spans = graft.ops.TextDedup.dupSpanRanges(fixture, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val texts = Map(1L -> s"unique-prefix-one $dupA unique-suffix-one",
+      2L -> s"unique-prefix-two-longer $dupA mid-filler-text $dupB tail-two",
+      3L -> s"start-three $dupB end-of-three")
+    // every doc holding a planted duplicate reports a span covering it
+    for ((doc, dup) <- Seq((1L, dupA), (2L, dupA), (2L, dupB), (3L, dupB))) {
+      val at = texts(doc).indexOf(dup) + 1 // 1-based
+      val covering = spans.filter(s => s._1 == doc &&
+        s._2 <= at && s._3 >= at + dup.length - 1)
+      assert(covering.nonEmpty, s"doc $doc: planted dup at $at uncovered")
+    }
+    assert(!spans.exists(_._1 == 4L), "doc 4 has no duplicates")
+    // disjoint and maximal per doc: next.start > prev.end + 1 (equal
+    // or adjacent spans would have merged: start gap <= n)
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 > a._3 + 1, s"doc $doc: spans $a and $b should have merged")
+        case _ => ()
+      }
+      // span geometry: end - start + 1 >= n, and n_grams consistent
+      // with the covered gram starts (end - n + 1 - start + 1 >= n_grams
+      // is not exact under gaps <= n, but bounds hold)
+      sorted.foreach { s =>
+        assert(s._3 - s._2 + 1 >= n, s"span shorter than a gram: $s")
+        assert(s._4 >= 1 && s._4 <= s._3 - s._2 + 1, s"n_grams out of bounds: $s")
+      }
+    }
+  }
+
+  test("stratified sample: two-level bucket bottom-k equals one stratum-wide sort") {
+    // skewed fixture: one stratum 50x the other
+    val fixture = spark.range(0, 2040).toDF("doc_id")
+      .withColumn("source", when(col("doc_id") < 2000, "big").otherwise("small"))
+      .withColumn("text", concat(lit("t"), col("doc_id")))
+    val h = conv(substring(md5(concat(lit("strat"), col("doc_id").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val k = 25
+    // engine formulation (two-level) — inline copy of the catalog plan
+    import org.apache.spark.sql.expressions.Window
+    val base = fixture.select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("b", pmod(col("h"), lit(64L)))
+    val w1 = Window.partitionBy("source", "b").orderBy(col("h"), col("doc_id"))
+    val w2 = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val twoLevel = base.withColumn("r1", row_number().over(w1)).where(col("r1") <= k)
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+      .select("source", "doc_id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val oneLevel = base.withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+      .select("source", "doc_id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(twoLevel === oneLevel,
+      "bucketed bottom-k must equal the stratum-wide sort")
+    assert(twoLevel.count(_._1 == "big") === k)
+    assert(twoLevel.count(_._1 == "small") === k, "small stratum has 40 rows >= k")
+  }
+
+  test("chunk overlap: chunks tile every doc with stride-sized overlap") {
+    val win = 512; val stride = 448
+    val chunks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), expr(s"(n_tokens - 1) div $stride"))).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        (col("ci") * stride + 1).as("s"),
+        least(col("ci") * stride + win, col("n_tokens")).as("e"),
+        col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val nTok = sorted.head._5
+      assert(sorted.head._3 === 1L, s"doc $doc: first chunk must start at 1")
+      assert(sorted.last._4 === nTok, s"doc $doc: last chunk must end at n_tokens")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 === a._3 + stride)
+          assert(b._3 <= a._4 + 1, s"doc $doc: gap between chunks $a -> $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("trained IVF: integer-exact Lloyd rounds are bit-deterministic") {
     def train() = Similarity
       .kmeansCentroids(emb, 8, iters = 2, exactScale = Some(1L << 20))
