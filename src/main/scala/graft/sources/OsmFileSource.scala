@@ -112,7 +112,7 @@ final class OsmTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"osm(${paths.mkString(",")})"
   override def schema(): StructType = OsmFileSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OsmScanBuilder(paths)
 }
@@ -166,36 +166,114 @@ final class OsmScan(paths: Seq[String], required: StructType, spec: OsmReadSpec)
   override def description(): String =
     s"OsmScan(spec=$spec, columns=${required.fieldNames.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val conf = spark.sessionState.newHadoopConf()
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val parts = mutable.ArrayBuffer.empty[InputPartition]
-    paths.foreach { p =>
+  override def planInputPartitions(): Array[InputPartition] =
+    OsmScan.partitionsOf(OsmScan.discover(paths).map(_._1)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmReaderFactory(required.fieldNames, spec,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new OsmMicroBatchStream(paths, required, spec)
+}
+
+object OsmScan {
+  /** (path, length) of every non-empty data file under `paths`. */
+  def discover(paths: Seq[String]): Seq[(String, Long)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val files =
         if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq.filter(_.isFile)
         else Seq(fs.getFileStatus(path))
-      files.filter(_.getLen > 0).foreach { st =>
-        val f = st.getPath.toString
-        val fmt = OsmFileSource.formatOf(f)
-        if (fmt == "pbf") {
-          var off = 0L
-          while (off < st.getLen) {
-            val len = math.min(maxSplit, st.getLen - off)
-            parts += OsmInputPartition(f, fmt, off, off + len)
-            off += len
-          }
-        } else parts += OsmInputPartition(f, fmt, 0L, st.getLen)
-      }
+      files.filter(_.getLen > 0).map(st => (st.getPath.toString, st.getLen))
     }
-    parts.toArray
+  }
+
+  /** Batch-identical partition planning: PBF files split into byte
+    * ranges at `spark.sql.files.maxPartitionBytes`, o5m/xml one task
+    * per file. */
+  def partitionsOf(files: Seq[String]): Seq[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    files.foreach { f =>
+      val path = new Path(f)
+      val len = path.getFileSystem(conf).getFileStatus(path).getLen
+      val fmt = OsmFileSource.formatOf(f)
+      if (fmt == "pbf") {
+        var off = 0L
+        while (off < len) {
+          val n = math.min(maxSplit, len - off)
+          parts += OsmInputPartition(f, fmt, off, off + n)
+          off += n
+        }
+      } else parts += OsmInputPartition(f, fmt, 0L, len)
+    }
+    parts.toSeq
+  }
+}
+
+/** Offset = the sorted set of files already visible: each micro-batch
+  * reads exactly the files that appeared since the previous offset. */
+final case class OsmFilesOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object OsmFilesOffset {
+  def fromJson(json: String): OsmFilesOffset = {
+    val s = json.trim.stripPrefix("[").stripSuffix("]")
+    if (s.isEmpty) OsmFilesOffset(Seq.empty)
+    else {
+      // split on "," only between quoted entries (paths may not
+      // contain unescaped quotes; escapes are unwound below)
+      val items = s.split("\",\\s*\"").toSeq
+        .map(_.stripPrefix("\"").stripSuffix("\""))
+        .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
+      OsmFilesOffset(items)
+    }
+  }
+}
+
+/**
+ * Micro-batch streaming over a watched OSM directory (the diff-ingest
+ * pattern: new `.o5m`/`.pbf`/`.osm.gz` drops become batches). Files
+ * are assumed immutable once visible — the standard file-stream
+ * contract (and how OSM extracts/diffs are published). Each batch
+ * plans the SAME partitions as the batch scan, so a new planet-sized
+ * PBF drop still fans out across the cluster by byte range.
+ */
+final class OsmMicroBatchStream(paths: Seq[String], required: StructType,
+    spec: OsmReadSpec)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = OsmFilesOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    OsmFilesOffset(OsmScan.discover(paths).map(_._1).sorted)
+
+  override def deserializeOffset(json: String): Offset =
+    OsmFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[OsmFilesOffset].files.toSet
+    val fresh = end.asInstanceOf[OsmFilesOffset].files.filterNot(seen)
+    OsmScan.partitionsOf(fresh).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OsmReaderFactory(required.fieldNames, spec,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class OsmReaderFactory(fields: Array[String], spec: OsmReadSpec,

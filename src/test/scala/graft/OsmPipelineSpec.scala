@@ -218,6 +218,33 @@ class OsmPipelineSpec extends AnyFunSuite {
     assert(allTileNodes === es.filter(_.kind == OsmKind.Node).map(_.id).toSet)
   }
 
+  test("streaming OSM source: new file drops arrive as micro-batches") {
+    val dir = tmpDir()
+    writeFile(s"$dir/a.o5m", corpus(400))
+    val q = spark.readStream.format("osm").load(dir)
+      .groupBy("kind").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("osm_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val c1 = spark.table("osm_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(c1("node") === 400L)
+      assert(c1("way") === 300L && c1("relation") === 30L)
+      // second drop: only the NEW file is read (counts accumulate)
+      writeFile(s"$dir/b.pbf", corpus(200))
+      q.processAllAvailable()
+      val c2 = spark.table("osm_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(c2("node") === 600L)
+      assert(c2("way") === 600L && c2("relation") === 60L)
+    } finally q.stop()
+    // offset round-trip (incl. escaping)
+    val off = graft.sources.OsmFilesOffset(Seq("/p/a \"b\".o5m", "/p/c.pbf"))
+    assert(graft.sources.OsmFilesOffset.fromJson(off.json()).files.toSet ===
+      Set("/p/a \"b\".o5m", "/p/c.pbf"))
+  }
+
   test("xml and pbf tile sinks produce parseable, equivalent tiles") {
     val es = corpus(1500)
     val dir = tmpDir()
