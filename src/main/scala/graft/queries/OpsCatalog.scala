@@ -245,6 +245,26 @@ object OpsCatalog {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .where(col("n") >= 10)),
 
+    // keyword extraction: top-3 distinguishing terms per doc ranked
+    // by (global rarity asc, in-doc frequency desc) — integer-only
+    // tf-idf. The document-frequency table is vocabulary-sized, so it
+    // BROADCASTS; the only corpus-sized shuffles are the tf
+    // aggregation and the per-doc window
+    "q_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("df"), col("tf").desc, col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("rnk").cast("long").as("rnk"))
+    }),
+
     // repetition scoring (the Gopher-style duplicate n-gram ratio):
     // ppm of character 3-grams that are repeats of an earlier gram
     "q_repetition" -> ((s, dir) => {
@@ -849,6 +869,17 @@ object OpsCatalog {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
         "FROM train WHERE gram_hash IN (SELECT gram_hash FROM bench) GROUP BY doc_id"),
     "q_dup_span_merge" -> dupSpanMergeSql,
+    "q_top_terms" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM toks GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (" +
+        "SELECT DISTINCT doc_id, term FROM toks) GROUP BY term) " +
+        "SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk FROM (" +
+        "SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, row_number() OVER (" +
+        "PARTITION BY tf.doc_id ORDER BY dfreq.df, tf.tf DESC, tf.term) AS rnk " +
+        "FROM tf JOIN dfreq USING (term)) WHERE rnk <= 3"),
     "q_media_extract" -> mediaDecodedSql,
     "q_frame_sample" -> frameSampleSql)
 }
