@@ -182,6 +182,21 @@ object OpsCatalog {
         .select(col("query_id"), expr("(100 * hits) div 3").as("recall_pct"))
     }),
 
+    // int8 embedding quantization (symmetric, per-vector max-abs
+    // scale) — the standard 4x embedding-storage compression. Pure
+    // map-side projection; round() is away-from-zero in both engines
+    // and every float64 step is order-fixed, so codes hash-match
+    "q_embed_int8" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"),
+          array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))).as("scale"),
+          posexplode(col("embedding")).as(Seq("d0", "x")))
+        .where(col("scale") > 0)
+        .select(col("vec_id"), (col("d0") + 1).cast("long").as("d"),
+          round(col("x").cast("double") / col("scale") * 127, 0)
+            .cast("long").as("code"))),
+
     "q_embed_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.5, maxId = 300)),
 
@@ -869,6 +884,13 @@ object OpsCatalog {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
         "FROM train WHERE gram_hash IN (SELECT gram_hash FROM bench) GROUP BY doc_id"),
     "q_dup_span_merge" -> dupSpanMergeSql,
+    "q_embed_int8" ->
+      ("SELECT vec_id, CAST(d AS BIGINT) AS d, " +
+        "CAST(round(l[CAST(d AS INT)] / scale * 127) AS BIGINT) AS code FROM (" +
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l, " +
+        "list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale " +
+        "FROM embeddings) t, " +
+        "(SELECT unnest(generate_series(1, 64)) AS d) ds WHERE scale > 0"),
     "q_top_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
         "FROM documents), " +
