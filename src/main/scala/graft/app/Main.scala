@@ -288,7 +288,7 @@ object Main {
     }
     AreaWriters.writeAreasList(s"$outDir/areas.list", areas)
     AreaWriters.writeTemplateArgs(s"$outDir/template.args", areas, a.output)
-    graft.output.PolyWriters.writePoly(s"$outDir/areas.poly", "areas",
+    graft.output.PolyWriters.writePoly(s"$outDir/areas.poly", "area", // reference AreaList.java:196 hardcodes "area"
       areas.map(_.rect))
     a.writeKml.foreach { kml =>
       val path = if (new java.io.File(kml).isAbsolute) kml else s"$outDir/$kml"

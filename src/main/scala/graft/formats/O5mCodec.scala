@@ -186,11 +186,16 @@ final class O5mReader(in: InputStream, spec: OsmReadSpec = OsmReadSpec())
     } else refPair(ref)
   }
 
-  /** rel member: type char + role as one stored pair (expanded type). */
+  /** rel member: type char + role as one stored pair (expanded type).
+    * NOTE: unlike readStringPair, the reference counts the pair size
+    * FROM BEFORE the leading ref varint (O5mMapParser.java:407 sets
+    * toReadStart before readUnsignedNum32) — so a role of exactly 250
+    * bytes is NOT stored in the ring here while it would be in a tag
+    * pair. Matching that keeps the 15000-slot ring in sync. */
   private def readRelRef(): (Int, String) = {
+    val start = pos // before the ref varint — see note above
     val refNum = pUnsigned().toInt
     if (refNum == 0) {
-      val start = pos
       val t = payloadByte() - '0'
       val refType = if (t >= 0 && t <= 2) t else 3
       val role = pString()

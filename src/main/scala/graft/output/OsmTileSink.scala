@@ -98,6 +98,15 @@ object OsmTileSink {
    * Write one OSM file per tile. `assigned` must carry
    * (map_id, kind, id, lat7, lon7, version, tags, refs, members);
    * `areas` provides each tile's bounds for the file header.
+   *
+   * Commit protocol: each task writes to attempt-scoped temp names
+   * (`_tmp_<tile>.<attemptId>`) and renames into place only after the
+   * whole partition succeeded, so a retried or speculative attempt can
+   * never interleave bytes into a live tile file; losers' temps are
+   * deleted by the task-completion listener. Tiles with ZERO assigned
+   * entities still get a header-only file afterwards — the reference
+   * opens one writer per area up front (OSMWriter.initForWrite) and
+   * template.args references every area's file.
    */
   def write(assigned: DataFrame, outDir: String, format: String,
       areas: Seq[AreaDef], versionPolicy: String = "keep"): Unit = {
@@ -117,6 +126,15 @@ object OsmTileSink {
 
     rows.foreachPartition { (it: Iterator[Row]) =>
       val fs = new Path(outDir).getFileSystem(conf.value)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val temps = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+      var committed = false
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        if (!committed) temps.foreach { case (tmp, _) =>
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+        }
+      })
       var cur = Int.MinValue
       var sink: EntitySink = null
       it.foreach { r =>
@@ -125,14 +143,34 @@ object OsmTileSink {
           if (sink != null) sink.finish()
           val rect = rects.getOrElse(mapId,
             throw new IllegalStateException(s"no bounds for tile $mapId"))
-          val f = new Path(outDir, f"$mapId%08d.$ext")
-          sink = open(new BufferedOutputStream(fs.create(f, true), 1 << 16),
+          val tmp = new Path(outDir, f"_tmp_$mapId%08d.$ext.$attempt")
+          temps += ((tmp, new Path(outDir, f"$mapId%08d.$ext")))
+          sink = open(new BufferedOutputStream(fs.create(tmp, true), 1 << 16),
             format, rect, versionPolicy)
           cur = mapId
         }
         sink.write(entityOf(r))
       }
       if (sink != null) sink.finish()
+      // task-level commit: all files complete, move them into place
+      temps.foreach { case (tmp, dst) =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+      }
+      committed = true
+    }
+
+    // header-only files for areas no entity mapped to (reference parity:
+    // every area has a file, even if empty)
+    val fs = new Path(outDir).getFileSystem(conf.value)
+    areas.foreach { a =>
+      val f = new Path(outDir, f"${a.mapId}%08d.$ext")
+      if (!fs.exists(f)) {
+        val sink = open(new BufferedOutputStream(fs.create(f, true), 1 << 16),
+          format, a.rect, versionPolicy)
+        sink.finish()
+      }
     }
   }
 }

@@ -145,7 +145,7 @@ object SplitPipeline {
         val as = solve(g, cfg)
         AreaWriters.writeAreasList(areasPath, as)
         AreaWriters.writeTemplateArgs(s"$outDir/template.args", as)
-        graft.output.PolyWriters.writePoly(s"$outDir/areas.poly", "areas",
+        graft.output.PolyWriters.writePoly(s"$outDir/areas.poly", "area", // reference AreaList.java:196 hardcodes "area"
           as.map(_.rect))
         graft.output.PolyWriters.writeKml(s"$outDir/areas.kml", as)
         (g, as)

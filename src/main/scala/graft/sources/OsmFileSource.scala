@@ -93,14 +93,29 @@ final class OsmDataSource extends TableProvider with org.apache.spark.sql.source
 }
 
 object OsmDataSource {
+  /** Real JSON parsing (Jackson ships on Spark's classpath): paths with
+    * commas or quotes must round-trip, not split on bare commas. */
+  private[sources] def parseJsonStringArray(json: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    require(node.isArray, s"expected a JSON string array, got: $json")
+    (0 until node.size()).map { i =>
+      val e = node.get(i)
+      require(e.isTextual, s"expected string entries, got: $e")
+      e.asText()
+    }
+  }
+
+  private[sources] def toJsonStringArray(items: Seq[String]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    items.foreach(arr.add)
+    mapper.writeValueAsString(arr)
+  }
+
   /** load(path*) arrives as "paths" (JSON array) or single "path". */
   def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
-    val multi = Option(options.get("paths")).map { json =>
-      // tiny JSON string-array parse (values are quoted paths)
-      val s = json.trim.stripPrefix("[").stripSuffix("]")
-      if (s.isEmpty) Seq.empty[String]
-      else s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    }.getOrElse(Seq.empty)
+    val multi = Option(options.get("paths")).map(parseJsonStringArray).getOrElse(Seq.empty)
     val single = Option(options.get("path")).toSeq
     val all = (multi ++ single).distinct
     if (all.isEmpty) throw new IllegalArgumentException("format(\"osm\") requires a path")
@@ -221,24 +236,12 @@ object OsmScan {
   * reads exactly the files that appeared since the previous offset. */
 final case class OsmFilesOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String =
-    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+  override def json(): String = OsmDataSource.toJsonStringArray(files.sorted)
 }
 
 object OsmFilesOffset {
-  def fromJson(json: String): OsmFilesOffset = {
-    val s = json.trim.stripPrefix("[").stripSuffix("]")
-    if (s.isEmpty) OsmFilesOffset(Seq.empty)
-    else {
-      // split on "," only between quoted entries (paths may not
-      // contain unescaped quotes; escapes are unwound below)
-      val items = s.split("\",\\s*\"").toSeq
-        .map(_.stripPrefix("\"").stripSuffix("\""))
-        .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
-      OsmFilesOffset(items)
-    }
-  }
+  def fromJson(json: String): OsmFilesOffset =
+    OsmFilesOffset(OsmDataSource.parseJsonStringArray(json))
 }
 
 /**
@@ -367,7 +370,7 @@ final class PbfRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
   private def frameEndIfValid(pos: Long): Long = {
     if (pos + 4 > fileLen) return -1
     val head = new Array[Byte](4 + 64)
-    in.readFully(pos, head, 0, math.min(head.length, (fileLen - pos).toInt))
+    in.readFully(pos, head, 0, math.min(head.length.toLong, fileLen - pos).toInt)
     val headerLen = ((head(0) & 0xff) << 24) | ((head(1) & 0xff) << 16) |
       ((head(2) & 0xff) << 8) | (head(3) & 0xff)
     if (headerLen < 10 || headerLen > 64 || pos + 4 + headerLen > fileLen) return -1
