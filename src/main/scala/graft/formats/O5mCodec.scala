@@ -65,12 +65,20 @@ object O5mVarint {
  * roles/later pairs) and only their materialization is skipped
  * (O5mMapParser.java:317-331).
  */
-final class O5mReader(in: InputStream, spec: OsmReadSpec = OsmReadSpec())
+final class O5mReader(in: InputStream, spec: OsmReadSpec = OsmReadSpec(),
+    stopAtResetFrom: Long = Long.MaxValue)
     extends Iterator[OsmEntity] with AutoCloseable {
   import O5mConst._
 
   private var headerSeen = false
   var bounds: Option[OsmBounds] = None
+
+  /** Bytes consumed from `in` so far. A RESET marker whose own byte
+    * offset is >= `stopAtResetFrom` ends this reader (the segment it
+    * opens belongs to the next byte-range partition — see
+    * [[graft.sources.O5mRangeIterator]]). */
+  private var consumed = 0L
+  def bytesConsumed: Long = consumed
 
   // delta state (reset on 0xff)
   private var lastNodeId = 0L
@@ -114,6 +122,7 @@ final class O5mReader(in: InputStream, spec: OsmReadSpec = OsmReadSpec())
   private def streamByte(): Int = {
     val b = in.read()
     if (b < 0) throw new java.io.IOException("unexpected o5m EOF")
+    consumed += 1
     b
   }
 
@@ -143,6 +152,7 @@ final class O5mReader(in: InputStream, spec: OsmReadSpec = OsmReadSpec())
       if (n < 0) throw new java.io.IOException("truncated o5m dataset")
       off += n
     }
+    consumed += size
     bufLen = size
     pos = 0
   }
@@ -322,9 +332,14 @@ final class O5mReader(in: InputStream, spec: OsmReadSpec = OsmReadSpec())
     nextEntity = null
     while (nextEntity == null && !done) {
       val t = in.read()
+      if (t >= 0) consumed += 1
       if (t < 0 || t == EodFlag) { done = true; return }
-      if (t == ResetFlag) resetState()
-      else if (t < 0xf0) {
+      if (t == ResetFlag) {
+        // marker byte offset = consumed - 1: past the range bound this
+        // segment belongs to the next partition
+        if (consumed - 1 >= stopAtResetFrom) { done = true; return }
+        resetState()
+      } else if (t < 0xf0) {
         val size = streamUnsigned().toInt
         val skip = t match {
           case NodeDataset => !spec.nodes
@@ -332,7 +347,7 @@ final class O5mReader(in: InputStream, spec: OsmReadSpec = OsmReadSpec())
           case RelDataset => !spec.relations
           case _ => false
         }
-        if (skip) in.skipNBytes(size.toLong)
+        if (skip) { in.skipNBytes(size.toLong); consumed += size }
         else {
           loadPayload(size)
           t match {
@@ -372,8 +387,19 @@ final class O5mReader(in: InputStream, spec: OsmReadSpec = OsmReadSpec())
  * back-reference distance matches). Version policy: "remove" writes the
  * bare 0x00, "fake" writes version 1, "keep" writes the entity's
  * version (0 degrades to the bare 0x00 — O5mMapWriter.java:298-310).
+ *
+ * `resetEvery` > 0 additionally emits a RESET marker (0xff) roughly
+ * every that many payload bytes. The o5m spec allows resets anywhere
+ * between datasets, so every o5m consumer still reads the file — but
+ * each marker is a safe parallel-entry point (delta state and string
+ * table restart there), which lets [[graft.sources.O5mRangeIterator]]
+ * byte-range-split the file exactly like PBF blocks. The default 0
+ * keeps byte parity with the reference writer (resets only on
+ * entity-type switches, O5mMapWriter.java:222-226) at the cost of a
+ * sequential read.
  */
-final class O5mWriter(out: OutputStream, versionPolicy: String = "keep") {
+final class O5mWriter(out: OutputStream, versionPolicy: String = "keep",
+    resetEvery: Long = 0L) {
   import O5mConst._
 
   private var lastType = 0
@@ -403,14 +429,22 @@ final class O5mWriter(out: OutputStream, versionPolicy: String = "keep") {
     tabi = 0
   }
 
-  private def reset(): Unit = { out.write(ResetFlag); resetVars() }
+  private def reset(): Unit = { out.write(ResetFlag); resetVars(); sinceReset = 0L }
+
+  private var sinceReset = 0L
 
   private def writeDataset(fileType: Int, payload: java.io.ByteArrayOutputStream): Unit = {
     out.write(fileType)
     O5mVarint.writeUnsigned(payload.size().toLong, out)
     payload.writeTo(out)
     lastType = fileType
+    sinceReset += payload.size().toLong + 2
   }
+
+  /** Entity writers call this AFTER a complete dataset so a reset never
+    * lands inside one; the marker then opens a fresh segment. */
+  private def maybePeriodicReset(): Unit =
+    if (resetEvery > 0 && sinceReset >= resetEvery) reset()
 
   private def writeHeaderDataset(): Unit = {
     val s = new java.io.ByteArrayOutputStream()
@@ -478,6 +512,7 @@ final class O5mWriter(out: OutputStream, versionPolicy: String = "keep") {
     O5mVarint.writeSigned((lat7 - lastLat).toLong, s); lastLat = lat7
     writeTags(tags, s)
     writeDataset(NodeDataset, s)
+    maybePeriodicReset()
   }
 
   def writeWay(id: Long, refs: Seq[Long], version: Int, tags: Seq[OsmTag]): Unit = {
@@ -493,6 +528,7 @@ final class O5mWriter(out: OutputStream, versionPolicy: String = "keep") {
     refStream.writeTo(s)
     writeTags(tags, s)
     writeDataset(WayDataset, s)
+    maybePeriodicReset()
   }
 
   def writeRelation(id: Long, members: Seq[OsmMember], version: Int, tags: Seq[OsmTag]): Unit = {
@@ -516,6 +552,7 @@ final class O5mWriter(out: OutputStream, versionPolicy: String = "keep") {
     memStream.writeTo(s)
     writeTags(tags, s)
     writeDataset(RelDataset, s)
+    maybePeriodicReset()
   }
 
   def write(e: OsmEntity): Unit = e.kind match {

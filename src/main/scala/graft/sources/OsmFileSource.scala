@@ -31,15 +31,24 @@ import org.apache.spark.unsafe.types.UTF8String
  * materialization at the decoder, and `kind = 'node'` / `kind IN (...)`
  * filters are pushed into the scan so skipped kinds are never decoded.
  *
- * Scale design: PBF files are split into byte ranges and decoded IN
- * PARALLEL — each OSMData block carries its own string table and delta
- * basis, so any block boundary is a valid split point; a reader resyncs
- * to the first block-header signature at or after its range start and
- * owns every block that STARTS inside its range (the classic splittable
- * -container contract, so one planet-sized .pbf fans out across a
- * cluster instead of serializing on one task). o5m and xml are
- * inherently sequential containers (file-wide string-table ring / one
- * document) and read one task per file — parallelism across files.
+ * Scale design: PBF and o5m files are split into byte ranges and
+ * decoded IN PARALLEL. For PBF each OSMData block carries its own
+ * string table and delta basis, so any block boundary is a valid split
+ * point; a reader resyncs to the first block-header signature at or
+ * after its range start and owns every block that STARTS inside its
+ * range (the classic splittable-container contract, so one
+ * planet-sized .pbf fans out across a cluster instead of serializing
+ * on one task). For o5m the equivalent entry points are the 0xff RESET
+ * markers — delta state and the string-table ring restart there (the
+ * same property the reference exploits to seek-skip,
+ * O5mMapParser.java:129-201); a reader resyncs to the first VALIDATED
+ * reset at or after its range start and owns every reset segment that
+ * starts inside its range. Files whose only resets are entity-type
+ * switches (the reference writer's layout) degrade gracefully to
+ * per-section parallelism; [[graft.formats.O5mWriter]] with
+ * `resetEvery` > 0 emits markers periodically so files written by this
+ * engine fan out fully. xml remains one task per file (one document) —
+ * parallelism across files.
  */
 object OsmFileSource {
   val schema: StructType = StructType(Seq(
@@ -207,8 +216,8 @@ object OsmScan {
     }
   }
 
-  /** Batch-identical partition planning: PBF files split into byte
-    * ranges at `spark.sql.files.maxPartitionBytes`, o5m/xml one task
+  /** Batch-identical partition planning: PBF and o5m files split into
+    * byte ranges at `spark.sql.files.maxPartitionBytes`, xml one task
     * per file. */
   def partitionsOf(files: Seq[String]): Seq[InputPartition] = {
     val spark = SparkSession.active
@@ -219,7 +228,7 @@ object OsmScan {
       val path = new Path(f)
       val len = path.getFileSystem(conf).getFileStatus(path).getLen
       val fmt = OsmFileSource.formatOf(f)
-      if (fmt == "pbf") {
+      if (fmt == "pbf" || fmt == "o5m") {
         var off = 0L
         while (off < len) {
           val n = math.min(maxSplit, len - off)
@@ -294,8 +303,7 @@ final class OsmPartitionReader(p: OsmInputPartition, fields: Array[String],
     val fs = new Path(p.path).getFileSystem(conf)
     p.format match {
       case "pbf" => new PbfRangeIterator(fs, new Path(p.path), p.start, p.end, spec)
-      case "o5m" =>
-        new O5mReader(new BufferedInputStream(fs.open(new Path(p.path)), 1 << 16), spec)
+      case "o5m" => new O5mRangeIterator(fs, new Path(p.path), p.start, p.end, spec)
       case _ =>
         val raw: InputStream = new BufferedInputStream(fs.open(new Path(p.path)), 1 << 16)
         val in = if (p.path.toLowerCase.endsWith(".gz")) new GZIPInputStream(raw) else raw
@@ -454,4 +462,122 @@ final class PbfRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
   override def hasNext: Boolean = { fill(); pending.hasNext }
   override def next(): OsmEntity = { fill(); pending.next() }
   override def close(): Unit = if (!closed) { closed = true; in.close() }
+}
+
+/**
+ * Iterates the entities of every o5m RESET segment whose 0xff marker
+ * lies in [start, end). A reset marker clears the delta state and the
+ * string-table ring (the property the reference's seek-skip relies on,
+ * O5mMapParser.java:129-201 + reset :464-478), so it is a valid
+ * parallel entry point exactly like a PBF block header.
+ *
+ * Resync: scan forward from `start` for a 0xff byte and validate it by
+ * walking the dataset-frame chain that must follow — each hop requires
+ * a known dataset type byte (0x10/0x11/0x12/0xdb/0xdc/0xe0, or another
+ * 0xff, or the 0xfe EOD) and a sane length varint landing inside the
+ * file. A false positive inside a varint/string payload survives one
+ * hop with probability ~8/256, so [[ChainFrames]] hops push the
+ * error rate below 1e-18 per candidate (the o5m analogue of the PBF
+ * two-frame signature check above). Decoding then runs the ordinary
+ * sequential [[graft.formats.O5mReader]] from the validated marker and
+ * stops at the first reset at or past `end` — which is by construction
+ * the position the next partition's resync finds first, so partitions
+ * tile the file with no gaps or overlaps.
+ */
+final class O5mRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
+    spec: OsmReadSpec) extends Iterator[OsmEntity] with AutoCloseable {
+  import graft.formats.O5mConst._
+
+  private val ChainFrames = 12
+  private val MaxDatasetBytes = 1L << 24 // far above any real o5m dataset
+
+  private val fileLen = fs.getFileStatus(path).getLen
+  private val in = fs.open(path)
+  private var closed = false
+
+  // small positioned-read cache: chain validation reads are local, so
+  // one pread usually covers a whole candidate chain
+  private val cache = new Array[Byte](1 << 16)
+  private var cacheStart = -1L
+  private var cacheLen = 0
+
+  private def byteAt(p: Long): Int = {
+    if (p < cacheStart || p >= cacheStart + cacheLen) {
+      val n = math.min(cache.length.toLong, fileLen - p).toInt
+      if (n <= 0) throw new java.io.EOFException(s"o5m read past EOF at $p")
+      in.readFully(p, cache, 0, n)
+      cacheStart = p
+      cacheLen = n
+    }
+    cache((p - cacheStart).toInt) & 0xff
+  }
+
+  private def varintAt(p: Long): (Long, Int) = {
+    var result = 0L
+    var shift = 0
+    var i = 0
+    while (i < 10) {
+      val b = byteAt(p + i)
+      if ((b & 0x80) == 0) return (result | (b.toLong << shift), i + 1)
+      result |= (b & 0x7fL) << shift
+      shift += 7
+      i += 1
+    }
+    (-1L, i) // varint too long: not a real dataset length
+  }
+
+  private def isDatasetType(t: Int): Boolean =
+    t == NodeDataset || t == WayDataset || t == RelDataset ||
+      t == BboxDataset || t == TimestampDataset || t == HeaderDataset
+
+  /** Frame-chain validation from the byte AFTER a candidate 0xff. */
+  private def chainOk(resetPos: Long): Boolean = {
+    var p = resetPos + 1
+    var frames = 0
+    while (frames < ChainFrames) {
+      if (p >= fileLen) return false // a well-formed o5m ends with 0xfe
+      val t = byteAt(p)
+      if (t == EodFlag) return true
+      if (t == ResetFlag) p += 1
+      else if (isDatasetType(t)) {
+        val (len, lenBytes) = varintAt(p + 1)
+        if (len < 0 || len > MaxDatasetBytes || p + 1 + lenBytes + len > fileLen)
+          return false
+        p += 1 + lenBytes + len
+        frames += 1
+      } else return false
+    }
+    true
+  }
+
+  /** First validated reset marker in [from, end), or `end` if none. */
+  private def resync(from: Long): Long = {
+    var p = from
+    val limit = math.min(end, fileLen)
+    while (p < limit) {
+      if (byteAt(p) == ResetFlag && chainOk(p)) return p
+      p += 1
+    }
+    end
+  }
+
+  private val segStart: Long = if (start == 0L) 0L else resync(start)
+
+  private val reader: O5mReader =
+    if (segStart >= end || segStart >= fileLen) null
+    else {
+      val raw = fs.open(path)
+      raw.seek(segStart)
+      new O5mReader(new BufferedInputStream(raw, 1 << 16), spec,
+        stopAtResetFrom = end - segStart)
+    }
+
+  override def hasNext: Boolean = reader != null && reader.hasNext
+  override def next(): OsmEntity =
+    if (reader == null) throw new NoSuchElementException else reader.next()
+  override def close(): Unit = if (!closed) {
+    closed = true
+    in.close()
+    if (reader != null) reader.close()
+  }
 }

@@ -133,6 +133,52 @@ class OsmPipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("o5m byte-range splits decode every reset segment exactly once") {
+    val es = corpus(9000)
+    val dir = tmpDir()
+    // periodic reset markers (format-legal) make the file splittable
+    val fos = new FileOutputStream(s"$dir/in.o5m")
+    val w = new O5mWriter(fos, resetEvery = 4096)
+    es.foreach(w.write); w.finish(); fos.close()
+
+    // sequential ground truth, full fidelity (tags/refs/members),
+    // catches any string-ring or delta-state desync at a boundary
+    val seq = {
+      val r = new O5mReader(new BufferedInputStream(new FileInputStream(s"$dir/in.o5m")))
+      val v = r.toVector; r.close(); v
+    }
+    assert(seq.map(key).toSet === es.map(key).toSet)
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+      val df = spark.read.format("osm").load(s"$dir/in.o5m")
+      val nParts = df.rdd.getNumPartitions
+      assert(nParts > 3, s"expected multiple o5m byte-range splits, got $nParts")
+      val got = df.selectExpr("kind", "id", "lat7", "lon7", "version",
+        "transform(tags, t -> concat(t.key, '=', t.value))", "refs",
+        "transform(members, m -> concat(m.mtype, ':', m.ref, ':', m.role))")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getSeq[String](5).toVector, r.getSeq[Long](6).toVector,
+          r.getSeq[String](7).toVector))
+      assert(got.length === es.size, "no loss and no double-decode across split boundaries")
+      val want = es.map(e => (e.kind, e.id, if (e.hasCoords) e.lat7 else 0,
+        if (e.hasCoords) e.lon7 else 0, e.version,
+        e.tags.map(t => s"${t.key}=${t.value}").toVector, e.refs.toVector,
+        e.members.map(m => s"${m.mtype}:${m.ref}:${m.role}").toVector))
+      assert(got.toSet === want.toSet)
+
+      // reference-layout file (resets only on type switches): splits
+      // degrade to per-section parallelism but stay exactly correct
+      writeFile(s"$dir/plain.o5m", es)
+      val df2 = spark.read.format("osm").load(s"$dir/plain.o5m")
+      assert(df2.rdd.getNumPartitions > 1)
+      val got2 = df2.select("kind", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got2.length === es.size)
+      assert(got2.toSet === es.map(key).toSet)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("OsmSplit.mapUnitCol matches the reference parse arithmetic exactly") {
     import spark.implicits._
     val vals = Seq(0, 1, -1, 467000000, -467000000, 849999999, -850000000,
