@@ -83,11 +83,14 @@ object OsmBench {
     nodes ++ ways ++ rels
   }
 
-  private def writeAll(path: String, es: Iterator[OsmEntity]): Long = {
+  private def writeAll(path: String, es: Iterator[OsmEntity],
+      o5mResetEvery: Long = 0L): Long = {
     val fos = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     graft.sources.OsmFileSource.formatOf(path) match {
       case "pbf" => val w = new PbfWriter(fos); es.foreach(w.write); w.finish()
-      case "o5m" => val w = new O5mWriter(fos); es.foreach(w.write); w.finish()
+      case "o5m" =>
+        val w = new O5mWriter(fos, resetEvery = o5mResetEvery)
+        es.foreach(w.write); w.finish()
       case other => throw new IllegalArgumentException(
         s"unsupported bench corpus format: $other")
     }
@@ -132,8 +135,12 @@ object OsmBench {
     val dir = java.nio.file.Files.createTempDirectory("graft_osm_bench").toString
 
     // ---- setup (untimed): write the three input layouts ----
+    // planet.o5m carries periodic reset markers (resetEvery = 4 MiB) so
+    // the SINGLE file byte-range-splits like the pbf — the scale layout
+    // this engine's own o5m sink emits
     val pbfBytes = writeAll(s"$dir/planet.pbf", entities(nNodes))
-    val o5mBytes = writeAll(s"$dir/planet.o5m", entities(nNodes))
+    val o5mBytes = writeAll(s"$dir/planet.o5m", entities(nNodes),
+      o5mResetEvery = 4L << 20)
     val shardDir = s"$dir/shards"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
     val shardBytes = writeShards(shardDir, 8, entities(nNodes))
@@ -157,6 +164,8 @@ object OsmBench {
 
     val pbfParts = spark.read.format("osm").load(s"$dir/planet.pbf")
       .rdd.getNumPartitions
+    val o5mParts = spark.read.format("osm").load(s"$dir/planet.o5m")
+      .rdd.getNumPartitions
     val o5mShardParts = spark.read.format("osm").load(shardDir)
       .rdd.getNumPartitions
 
@@ -166,6 +175,7 @@ object OsmBench {
         .where(col("kind") === "way")
         .agg(sum(col("id")), sum(size(col("refs")))).collect()
     }
+    val tScanO5m = minOf2(fullScan(s"$dir/planet.o5m"))
     val tScanShards = minOf2(fullScan(shardDir))
 
     // end-to-end split: maxNodes picked so the solver yields a real
@@ -187,10 +197,13 @@ object OsmBench {
       s"""{"bench":"osm","cpus":$cpus,"nodes":$nNodes,"entities":$nEnts,""" +
         s""""pbf_mb":${fmt(pbfBytes / 1e6, 1)},"o5m_mb":${fmt(o5mBytes / 1e6, 1)},""" +
         s""""shards_mb":${fmt(shardBytes / 1e6, 1)},""" +
-        s""""pbf_partitions":$pbfParts,"o5m_shard_partitions":$o5mShardParts,""" +
+        s""""pbf_partitions":$pbfParts,"o5m_partitions":$o5mParts,""" +
+        s""""o5m_shard_partitions":$o5mShardParts,""" +
         s""""scan_pbf_sec":${fmt(tScanPbf, 3)},"scan_pbf_ents_per_sec":${fmt(eps(tScanPbf), 0)},""" +
         s""""scan_pbf_mb_per_sec":${fmt(mbps(pbfBytes, tScanPbf), 1)},""" +
         s""""scan_pbf_ways_sec":${fmt(tScanPbfWays, 3)},""" +
+        s""""scan_o5m_sec":${fmt(tScanO5m, 3)},"scan_o5m_ents_per_sec":${fmt(eps(tScanO5m), 0)},""" +
+        s""""scan_o5m_mb_per_sec":${fmt(mbps(o5mBytes, tScanO5m), 1)},""" +
         s""""scan_o5m_shards_sec":${fmt(tScanShards, 3)},""" +
         s""""scan_o5m_shards_ents_per_sec":${fmt(eps(tScanShards), 0)},""" +
         s""""scan_o5m_shards_mb_per_sec":${fmt(mbps(shardBytes, tScanShards), 1)},""" +

@@ -180,18 +180,21 @@ object OsmSplit {
         viaWays.unionByName(viaRels)
       }
 
-    def assignedOf(kind: String, pairs: DataFrame): DataFrame =
-      ents.where(col("kind") === lit(kind))
-        .join(pairs.distinct().withColumn("map_id", col("tid") + startId)
-          .drop("tid"), "id")
-    // one materialization serves every write pass AND the metrics
-    // count — without it, each --max-areas pass and recordMetrics
-    // re-runs the full join tree (including three source decodes);
-    // disk-backed, so the working set never has to fit in memory
-    val assembled = assignedOf("node", nodeBase.unionByName(nodeExtra))
-      .unionByName(assignedOf("way", wayAll))
-      .unionByName(assignedOf("relation", relAssign))
+    // ONLY the narrow (kind, id, map_id) assignment is materialized —
+    // ~20 bytes/row against the full payload (tags/refs/members), so
+    // the wide persist that used to dominate the pipeline disappears.
+    // The wide payload streams straight from the source scan through
+    // the membership join into the sink's map_id shuffle; each
+    // --max-areas pass re-reads the (cheap, byte-range-parallel)
+    // source instead of a materialized wide intermediate.
+    val pairs = nodeBase.unionByName(nodeExtra).withColumn("kind", lit("node"))
+      .unionByName(wayAll.withColumn("kind", lit("way")))
+      .unionByName(relAssign.withColumn("kind", lit("relation")))
+      .select(col("kind"), col("id"), (col("tid") + startId).as("map_id"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def assembledOf(p: DataFrame): DataFrame = ents.join(p, Seq("kind", "id"))
 
     val mapIds = areas.map(_.mapId)
     a.output match {
@@ -202,23 +205,23 @@ object OsmSplit {
         // (reference Main.java:526) — pass count must not change bytes
         mapIds.grouped(a.maxAreas).foreach { chunk =>
           OsmTileSink.write(
-            assembled.where(col("map_id").isin(chunk.map(Int.box): _*)),
+            assembledOf(pairs.where(col("map_id").isin(chunk.map(Int.box): _*))),
             tilesDir, a.output, areas, a.handleElementVersion)
         }
       case _ =>
         if (mapIds.size <= a.maxAreas)
-          TileAssigner.writePartitioned(assembled, s"$outDir/tiles",
+          TileAssigner.writePartitioned(assembledOf(pairs), s"$outDir/tiles",
             a.handleElementVersion)
         else
           mapIds.grouped(a.maxAreas).zipWithIndex.foreach { case (chunk, pass) =>
             TileAssigner.writePartitioned(
-              assembled.where(col("map_id").isin(chunk.map(Int.box): _*)),
+              assembledOf(pairs.where(col("map_id").isin(chunk.map(Int.box): _*))),
               s"$outDir/tiles", a.handleElementVersion,
               mode = if (pass == 0) "overwrite" else "append")
           }
     }
-    SplitPipeline.recordMetrics(assembled, "dist", outDir)
-    assembled.unpersist(false)
+    SplitPipeline.recordMetrics(pairs, "dist", outDir)
+    pairs.unpersist(false)
     "dist"
   }
 }

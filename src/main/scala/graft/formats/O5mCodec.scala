@@ -31,6 +31,22 @@ object O5mConst {
   val HeaderDataset = 0xe0
   val EodFlag = 0xfe
   val ResetFlag = 0xff
+
+  /** Private sync dataset (unknown type, length-prefixed — every o5m
+    * consumer skips it by its length, including the reference parser's
+    * unknown-dataset branch). Emitted after each RESET when the writer
+    * runs with `resetEvery` > 0: the 1-byte 0xff marker alone cannot be
+    * distinguished from payload bytes when resyncing into the middle of
+    * a file, but [0xff][0xe7][0x10][16 magic bytes] is a 19-byte
+    * signature with negligible accidental-occurrence probability — the
+    * o5m analogue of a PBF BlobHeader signature. */
+  val SyncDataset = 0xe7
+  val SyncMagic: Array[Byte] = Array(0xf1, 'g', 'r', 'a', 'f', 't', 'S',
+    'y', 'n', 'c', 0x9c, 0xb3, 0x5a, 0xe4, 0x21, 0x08).map(_.toByte)
+  /** Full resync signature: reset marker + sync dataset frame. */
+  val SyncSignature: Array[Byte] =
+    Array(ResetFlag.toByte, SyncDataset.toByte, SyncMagic.length.toByte) ++ SyncMagic
+
   val StringTableSize = 15000
   /** writer-side limit: s1+s2 payload bytes that may enter the table */
   val MaxStoredPairBytes = 250
@@ -388,10 +404,13 @@ final class O5mReader(in: InputStream, spec: OsmReadSpec = OsmReadSpec(),
  * bare 0x00, "fake" writes version 1, "keep" writes the entity's
  * version (0 degrades to the bare 0x00 — O5mMapWriter.java:298-310).
  *
- * `resetEvery` > 0 additionally emits a RESET marker (0xff) roughly
- * every that many payload bytes. The o5m spec allows resets anywhere
- * between datasets, so every o5m consumer still reads the file — but
- * each marker is a safe parallel-entry point (delta state and string
+ * `resetEvery` > 0 additionally emits a RESET marker roughly every
+ * that many payload bytes, and follows EVERY reset (periodic,
+ * type-switch and the file-start one) with the [[O5mConst.SyncMagic]]
+ * sync dataset. The o5m spec allows resets anywhere between datasets
+ * and consumers skip unknown length-prefixed datasets, so every o5m
+ * reader still accepts the file — but each [0xff][sync] point is a
+ * safe, unambiguous parallel-entry signature (delta state and string
  * table restart there), which lets [[graft.sources.O5mRangeIterator]]
  * byte-range-split the file exactly like PBF blocks. The default 0
  * keeps byte parity with the reference writer (resets only on
@@ -416,9 +435,7 @@ final class O5mWriter(out: OutputStream, versionPolicy: String = "keep",
   private var slotPair: Array[(String, String)] = new Array(StringTableSize)
   private val pairSlot = mutable.HashMap.empty[(String, String), Int]
   private var tabi = 0
-
-  out.write(ResetFlag)
-  writeHeaderDataset()
+  private var sinceReset = 0L
 
   private def resetVars(): Unit = {
     lastNodeId = 0; lastWayId = 0; lastRelId = 0
@@ -429,9 +446,20 @@ final class O5mWriter(out: OutputStream, versionPolicy: String = "keep",
     tabi = 0
   }
 
-  private def reset(): Unit = { out.write(ResetFlag); resetVars(); sinceReset = 0L }
-
-  private var sinceReset = 0L
+  /** In splittable mode every reset is followed by the sync dataset —
+    * the resync signature AND the range reader's stop condition both
+    * key on the reset marker, so the two stay consistent. */
+  private def reset(): Unit = {
+    out.write(ResetFlag)
+    if (resetEvery > 0) {
+      out.write(SyncDataset)
+      O5mVarint.writeUnsigned(SyncMagic.length.toLong, out)
+      out.write(SyncMagic)
+      // lastType untouched: a sync dataset carries no decoder state
+    }
+    resetVars()
+    sinceReset = 0L
+  }
 
   private def writeDataset(fileType: Int, payload: java.io.ByteArrayOutputStream): Unit = {
     out.write(fileType)
@@ -451,6 +479,12 @@ final class O5mWriter(out: OutputStream, versionPolicy: String = "keep",
     s.write('o'); s.write('5'); s.write('m'); s.write('2')
     writeDataset(HeaderDataset, s)
   }
+
+  out.write(ResetFlag)
+  writeHeaderDataset()
+  // splittable mode: a sync point right after the header, so splittable
+  // files are recognizable from their first bytes (planner probe)
+  if (resetEvery > 0) reset()
 
   /** bbox values are degrees*1e7 truncated longs (O5mMapWriter.writeBBox). */
   def writeBounds(b: OsmBounds): Unit = {

@@ -41,14 +41,14 @@ import org.apache.spark.unsafe.types.UTF8String
  * on one task). For o5m the equivalent entry points are the 0xff RESET
  * markers — delta state and the string-table ring restart there (the
  * same property the reference exploits to seek-skip,
- * O5mMapParser.java:129-201); a reader resyncs to the first VALIDATED
- * reset at or after its range start and owns every reset segment that
- * starts inside its range. Files whose only resets are entity-type
- * switches (the reference writer's layout) degrade gracefully to
- * per-section parallelism; [[graft.formats.O5mWriter]] with
- * `resetEvery` > 0 emits markers periodically so files written by this
- * engine fan out fully. xml remains one task per file (one document) —
- * parallelism across files.
+ * O5mMapParser.java:129-201) — but only when tagged with the
+ * high-entropy sync dataset [[graft.formats.O5mWriter]] emits in
+ * `resetEvery` mode (a bare 1-byte marker is not recognizable from
+ * mid-file); the planner probes the file head for the sync signature
+ * and plans byte ranges only then, so files written by this engine fan
+ * out fully while foreign o5m layouts read sequentially (exactly the
+ * reference's behavior for them). xml remains one task per file (one
+ * document) — parallelism across files.
  */
 object OsmFileSource {
   val schema: StructType = StructType(Seq(
@@ -226,9 +226,12 @@ object OsmScan {
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     files.foreach { f =>
       val path = new Path(f)
-      val len = path.getFileSystem(conf).getFileStatus(path).getLen
+      val fs = path.getFileSystem(conf)
+      val len = fs.getFileStatus(path).getLen
       val fmt = OsmFileSource.formatOf(f)
-      if (fmt == "pbf" || fmt == "o5m") {
+      val splittable = fmt == "pbf" ||
+        (fmt == "o5m" && O5mRangeIterator.isSplittable(fs, path))
+      if (splittable) {
         var off = 0L
         while (off < len) {
           val n = math.min(maxSplit, len - off)
@@ -469,94 +472,53 @@ final class PbfRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
  * lies in [start, end). A reset marker clears the delta state and the
  * string-table ring (the property the reference's seek-skip relies on,
  * O5mMapParser.java:129-201 + reset :464-478), so it is a valid
- * parallel entry point exactly like a PBF block header.
- *
- * Resync: scan forward from `start` for a 0xff byte and validate it by
- * walking the dataset-frame chain that must follow — each hop requires
- * a known dataset type byte (0x10/0x11/0x12/0xdb/0xdc/0xe0, or another
- * 0xff, or the 0xfe EOD) and a sane length varint landing inside the
- * file. A false positive inside a varint/string payload survives one
- * hop with probability ~8/256, so [[ChainFrames]] hops push the
- * error rate below 1e-18 per candidate (the o5m analogue of the PBF
- * two-frame signature check above). Decoding then runs the ordinary
- * sequential [[graft.formats.O5mReader]] from the validated marker and
- * stops at the first reset at or past `end` — which is by construction
- * the position the next partition's resync finds first, so partitions
- * tile the file with no gaps or overlaps.
+ * parallel entry point exactly like a PBF block header — but the bare
+ * 1-byte marker cannot be recognized from the middle of the file (any
+ * payload byte can be 0xff, and a frame-walk from a false candidate
+ * can lock onto the true dataset lattice and look consistent). Range
+ * reads therefore only apply to files whose writer emitted the 19-byte
+ * [[graft.formats.O5mConst.SyncSignature]] after every reset
+ * ([[graft.formats.O5mWriter]] with `resetEvery` > 0; probed by
+ * [[O5mRangeIterator.isSplittable]] before planning ranges): resync
+ * scans for that signature, which is as unambiguous as a PBF
+ * BlobHeader. Decoding then runs the ordinary sequential
+ * [[graft.formats.O5mReader]] from the matched marker and stops at the
+ * first reset at or past `end` — by writer construction every reset in
+ * such files carries the signature, so the stop position is exactly
+ * where the next partition's resync starts: partitions tile the file
+ * with no gaps or overlaps.
  */
 final class O5mRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
     spec: OsmReadSpec) extends Iterator[OsmEntity] with AutoCloseable {
-  import graft.formats.O5mConst._
-
-  private val ChainFrames = 12
-  private val MaxDatasetBytes = 1L << 24 // far above any real o5m dataset
+  import graft.formats.O5mConst.SyncSignature
 
   private val fileLen = fs.getFileStatus(path).getLen
   private val in = fs.open(path)
   private var closed = false
 
-  // small positioned-read cache: chain validation reads are local, so
-  // one pread usually covers a whole candidate chain
-  private val cache = new Array[Byte](1 << 16)
-  private var cacheStart = -1L
-  private var cacheLen = 0
-
-  private def byteAt(p: Long): Int = {
-    if (p < cacheStart || p >= cacheStart + cacheLen) {
-      val n = math.min(cache.length.toLong, fileLen - p).toInt
-      if (n <= 0) throw new java.io.EOFException(s"o5m read past EOF at $p")
-      in.readFully(p, cache, 0, n)
-      cacheStart = p
-      cacheLen = n
-    }
-    cache((p - cacheStart).toInt) & 0xff
-  }
-
-  private def varintAt(p: Long): (Long, Int) = {
-    var result = 0L
-    var shift = 0
-    var i = 0
-    while (i < 10) {
-      val b = byteAt(p + i)
-      if ((b & 0x80) == 0) return (result | (b.toLong << shift), i + 1)
-      result |= (b & 0x7fL) << shift
-      shift += 7
-      i += 1
-    }
-    (-1L, i) // varint too long: not a real dataset length
-  }
-
-  private def isDatasetType(t: Int): Boolean =
-    t == NodeDataset || t == WayDataset || t == RelDataset ||
-      t == BboxDataset || t == TimestampDataset || t == HeaderDataset
-
-  /** Frame-chain validation from the byte AFTER a candidate 0xff. */
-  private def chainOk(resetPos: Long): Boolean = {
-    var p = resetPos + 1
-    var frames = 0
-    while (frames < ChainFrames) {
-      if (p >= fileLen) return false // a well-formed o5m ends with 0xfe
-      val t = byteAt(p)
-      if (t == EodFlag) return true
-      if (t == ResetFlag) p += 1
-      else if (isDatasetType(t)) {
-        val (len, lenBytes) = varintAt(p + 1)
-        if (len < 0 || len > MaxDatasetBytes || p + 1 + lenBytes + len > fileLen)
-          return false
-        p += 1 + lenBytes + len
-        frames += 1
-      } else return false
-    }
-    true
-  }
-
-  /** First validated reset marker in [from, end), or `end` if none. */
+  /** First sync signature start in [from, end), or `end` if none. */
   private def resync(from: Long): Long = {
-    var p = from
+    val sig = SyncSignature
+    val window = 1 << 20
+    val buf = new Array[Byte](window)
+    var base = from
     val limit = math.min(end, fileLen)
-    while (p < limit) {
-      if (byteAt(p) == ResetFlag && chainOk(p)) return p
-      p += 1
+    while (base < limit) {
+      val n = math.min(window.toLong, fileLen - base).toInt
+      in.readFully(base, buf, 0, n)
+      var i = 0
+      // candidates must START in [from, end); the signature may finish
+      // beyond end (it belongs to this range's last owned position)
+      val scanLimit = math.min(n.toLong, limit - base).toInt
+      while (i < scanLimit) {
+        if (buf(i) == sig(0) && i + sig.length <= n &&
+            sig.indices.forall(j => buf(i + j) == sig(j)))
+          return base + i
+        i += 1
+      }
+      if (base + n >= fileLen) return end
+      // re-scan the tail so signatures straddling windows are seen
+      base += math.max(scanLimit - sig.length, 1)
     }
     end
   }
@@ -579,5 +541,21 @@ final class O5mRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
     closed = true
     in.close()
     if (reader != null) reader.close()
+  }
+}
+
+object O5mRangeIterator {
+  /** Splittable o5m files carry a sync point right after the header
+    * (writer ctor with `resetEvery` > 0), so one 64-byte probe of the
+    * file head decides whether byte-range partitions are safe. */
+  def isSplittable(fs: FileSystem, path: Path): Boolean = {
+    val sig = graft.formats.O5mConst.SyncSignature
+    val len = fs.getFileStatus(path).getLen
+    val n = math.min(64L, len).toInt
+    if (n < sig.length) return false
+    val head = new Array[Byte](n)
+    val in = fs.open(path)
+    try in.readFully(0, head, 0, n) finally in.close()
+    (0 to n - sig.length).exists(i => sig.indices.forall(j => head(i + j) == sig(j)))
   }
 }

@@ -168,11 +168,12 @@ class OsmPipelineSpec extends AnyFunSuite {
         e.members.map(m => s"${m.mtype}:${m.ref}:${m.role}").toVector))
       assert(got.toSet === want.toSet)
 
-      // reference-layout file (resets only on type switches): splits
-      // degrade to per-section parallelism but stay exactly correct
+      // reference-layout file (no sync datasets): the planner probe
+      // keeps it sequential — one task, exactly correct
       writeFile(s"$dir/plain.o5m", es)
       val df2 = spark.read.format("osm").load(s"$dir/plain.o5m")
-      assert(df2.rdd.getNumPartitions > 1)
+      assert(df2.rdd.getNumPartitions === 1,
+        "foreign o5m layouts must not be byte-range split")
       val got2 = df2.select("kind", "id").collect().map(r => (r.getString(0), r.getLong(1)))
       assert(got2.length === es.size)
       assert(got2.toSet === es.map(key).toSet)
