@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /**
  * Deduplication operators for large text corpora: exact, MinHash+LSH,
- * SimHash and n-gram Jaccard. All hashing goes through md5 -> 60-bit
- * int so the same arithmetic is expressible in the DuckDB oracle; at
- * production scale the md5 can be swapped for xxhash64 without
- * changing the plan shape.
+ * SimHash and n-gram Jaccard. Signature hashing goes through md5 ->
+ * 60-bit int so the same arithmetic is expressible in the DuckDB
+ * oracle; the gram-shingle operators take a `hash` mode that defaults
+ * to the cheaper codegen'd xxhash64 for production use, with "md5"
+ * pinned by the oracle-gated catalog — same plan shape either way.
  *
  * Scale notes: every operator is a hash-partitioned aggregation or an
  * equi-join on a derived key — no driver-side state. The LSH pair
@@ -345,24 +346,36 @@ object TextDedup {
       .select(col(id), substring(col(text), col("i"), lit(n)).as("gram"))
       .distinct()
 
+  /** The gram -> 8-byte shuffle key. "xxhash64" (default) is the
+    * production mode: codegen'd, one pass, no hex round-trip.
+    * "md5" (60-bit, via hex) is the cross-engine-reproducible mode the
+    * oracle-gated catalog pins (any engine derives the same key), at
+    * ~2x the scan CPU. Collisions merge identically in every engine
+    * applying the same hash (~2^-60 per pair). */
+  private def gramHash(c: Column, hash: String): Column = hash match {
+    case "xxhash64" => xxhash64(c)
+    case "md5" => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    case other => throw new IllegalArgumentException(
+      s"unknown gram hash mode: $other (xxhash64 | md5)")
+  }
+
   /**
-   * Distinct (id, 60-bit md5 gram hash) pairs with the hash applied
+   * Distinct (id, 8-byte gram hash) pairs with the hash applied
    * map-side, BEFORE the distinct's exchange — every shuffle carries
-   * an 8-byte key instead of gram text (the 100 TB shape; md5-derived
-   * rather than xxhash64 so any engine reproduces it). Hash collisions
-   * (~2^-60 per pair) merge identically in every engine applying the
-   * same hash. `fullOnly` keeps only grams of exactly n chars (drops
-   * the truncated gram short texts produce).
+   * an 8-byte key instead of gram text (the 100 TB shape). `fullOnly`
+   * keeps only grams of exactly n chars (drops the truncated gram
+   * short texts produce). `hash` picks the key function — see
+   * [[gramHash]].
    */
   def charShingleHashes(docs: DataFrame, n: Int = 3, fullOnly: Boolean = false,
-                        id: String = "doc_id", text: String = "text"): DataFrame = {
+                        id: String = "doc_id", text: String = "text",
+                        hash: String = "xxhash64"): DataFrame = {
     val grams = docs.select(col(id), col(text),
         explode(sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))))
           .as("i"))
       .select(col(id), substring(col(text), col("i"), lit(n)).as("gram"))
     val kept = if (fullOnly) grams.where(length(col("gram")) === n) else grams
-    kept.select(col(id),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_hash"))
+    kept.select(col(id), gramHash(col("gram"), hash).as("gram_hash"))
       .distinct()
   }
 
@@ -372,7 +385,8 @@ object TextDedup {
     * sessionization below needs every position. */
   def charShingleHashPositions(docs: DataFrame, n: Int,
                                id: String = "doc_id",
-                               text: String = "text"): DataFrame =
+                               text: String = "text",
+                               hash: String = "xxhash64"): DataFrame =
     docs.select(col(id), col(text),
         explode(sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))))
           .as("i"))
@@ -380,7 +394,7 @@ object TextDedup {
         substring(col(text), col("i"), lit(n)).as("gram"))
       .where(length(col("gram")) === n)
       .select(col(id), col("i").cast("long").as("i"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram_hash"))
+        gramHash(col("gram"), hash).as("gram_hash"))
 
   /**
    * Maximal duplicated spans — the ranges Lee et al.-style dedup
@@ -394,10 +408,11 @@ object TextDedup {
    * doc_id, sort bounded by doc length) — never a global window.
    */
   def dupSpanRanges(docs: DataFrame, n: Int = 20,
-                    id: String = "doc_id", text: String = "text"): DataFrame = {
+                    id: String = "doc_id", text: String = "text",
+                    hash: String = "xxhash64"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = charShingleHashPositions(docs, n, id, text)
-    val dup = charShingleHashes(docs, n, fullOnly = true, id, text)
+    val pos = charShingleHashPositions(docs, n, id, text, hash)
+    val dup = charShingleHashes(docs, n, fullOnly = true, id, text, hash)
       .groupBy("gram_hash").agg(count(lit(1)).as("nd")) // distinct (doc, hash) rows
       .where(col("nd") >= 2).select("gram_hash")
     val hits = pos.join(dup, "gram_hash").select(col(id), col("i"))

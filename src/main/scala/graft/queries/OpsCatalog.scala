@@ -312,7 +312,8 @@ object OpsCatalog {
     // MAP-SIDE, so every exchange carries 8 bytes, never gram text
     "q_dup_spans" -> ((s, dir) =>
       TextDedup.charShingleHashes(
-          docs(s, dir).where(col("doc_id") < 500), 20, fullOnly = true)
+          docs(s, dir).where(col("doc_id") < 500), 20, fullOnly = true,
+          hash = "md5")
         .groupBy("gram_hash").agg(
           count(lit(1)).as("n_docs"), // rows are distinct (doc, hash)
           min(col("doc_id")).as("first_doc"),
@@ -324,7 +325,8 @@ object OpsCatalog {
     // intervals (per-doc windows only; 8-byte gram hashes on every
     // detection exchange)
     "q_dup_span_merge" -> ((s, dir) =>
-      TextDedup.dupSpanRanges(docs(s, dir).where(col("doc_id") < 500), 20)),
+      TextDedup.dupSpanRanges(docs(s, dir).where(col("doc_id") < 500), 20,
+        hash = "md5")),
 
     // benchmark decontamination: training docs sharing any character
     // 13-gram with a held-out eval set (synthetic: doc_id % 97 == 0)
@@ -337,9 +339,42 @@ object OpsCatalog {
       val train = docs(s, dir)
         .where(col("doc_id") % 97 =!= 0 && col("doc_id") < 2000)
       val benchHashes = TextDedup.charShingleHashes(
+          docs(s, dir).where(col("doc_id") % 97 === 0), n, hash = "md5")
+        .select("gram_hash").distinct()
+      TextDedup.charShingleHashes(train, n, hash = "md5")
+        .join(benchHashes, Seq("gram_hash"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
+    // the production hash mode under the same gate: xxhash64 gram keys
+    // (codegen'd, no hex round-trip — the md5 mode costs ~2x scan CPU).
+    // DuckDB cannot derive xxhash64, so the oracle checks the JOIN
+    // SEMANTICS over exact gram strings instead; equality holds unless
+    // xxhash64 collides on the corpus (~1e-6 at this scale, and
+    // deterministic for fixed data)
+    "q_decontaminate_xxh" -> ((s, dir) => {
+      val n = 13
+      val train = docs(s, dir)
+        .where(col("doc_id") % 97 =!= 0 && col("doc_id") < 2000)
+      val benchHashes = TextDedup.charShingleHashes(
           docs(s, dir).where(col("doc_id") % 97 === 0), n)
         .select("gram_hash").distinct()
       TextDedup.charShingleHashes(train, n)
+        .join(benchHashes, Seq("gram_hash"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    }),
+
+    // whole-corpus decontamination: train = EVERY non-eval doc (no id
+    // cap) — the shape users actually run. Same broadcast left_semi on
+    // the 8-byte gram hash (md5 mode so the DuckDB oracle derives
+    // bit-identical keys; library callers get xxhash64 by default)
+    "q_decontaminate_full" -> ((s, dir) => {
+      val n = 13
+      val train = docs(s, dir).where(col("doc_id") % 97 =!= 0)
+      val benchHashes = TextDedup.charShingleHashes(
+          docs(s, dir).where(col("doc_id") % 97 === 0), n, hash = "md5")
+        .select("gram_hash").distinct()
+      TextDedup.charShingleHashes(train, n, hash = "md5")
         .join(benchHashes, Seq("gram_hash"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
     }),
@@ -881,6 +916,20 @@ object OpsCatalog {
         s"${gramsSql(13, "WHERE doc_id % 97 = 0")} b), " +
         s"train AS (SELECT DISTINCT doc_id, ${hash60Sql("gram")} AS gram_hash FROM " +
         s"${gramsSql(13, "WHERE doc_id % 97 <> 0 AND doc_id < 2000")} t) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
+        "FROM train WHERE gram_hash IN (SELECT gram_hash FROM bench) GROUP BY doc_id"),
+    "q_decontaminate_xxh" ->
+      (s"WITH bench AS (SELECT DISTINCT gram FROM " +
+        s"${gramsSql(13, "WHERE doc_id % 97 = 0")} b), " +
+        s"train AS (SELECT DISTINCT doc_id, gram FROM " +
+        s"${gramsSql(13, "WHERE doc_id % 97 <> 0 AND doc_id < 2000")} t) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
+        "FROM train WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id"),
+    "q_decontaminate_full" ->
+      (s"WITH bench AS (SELECT DISTINCT ${hash60Sql("gram")} AS gram_hash FROM " +
+        s"${gramsSql(13, "WHERE doc_id % 97 = 0")} b), " +
+        s"train AS (SELECT DISTINCT doc_id, ${hash60Sql("gram")} AS gram_hash FROM " +
+        s"${gramsSql(13, "WHERE doc_id % 97 <> 0")} t) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
         "FROM train WHERE gram_hash IN (SELECT gram_hash FROM bench) GROUP BY doc_id"),
     "q_dup_span_merge" -> dupSpanMergeSql,
