@@ -215,6 +215,75 @@ class FormatsSpec extends AnyFunSuite {
     assert(fromPbf === es)
   }
 
+  // ---- randomized fuzz: writer -> reader must invert on ANY entity mix ----
+
+  /** scalacheck without the scalatestplus bridge (not in the offline cache) */
+  private def check(p: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(120), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val fuzzChars = org.scalacheck.Gen.frequency(
+    8 -> org.scalacheck.Gen.alphaNumChar,
+    2 -> org.scalacheck.Gen.oneOf('é', 'ß', '中', '€', '\'', '"', '<', '>', '&',
+      ' ', '\t', '\n', '\r'))
+  private val strGen = org.scalacheck.Gen.choose(0, 24)
+    .flatMap(n => org.scalacheck.Gen.listOfN(n, fuzzChars)).map(_.mkString)
+  // non-empty keys: "" maps to string-table slot 0, the dense-node kv
+  // stream's end-of-entity sentinel
+  private val keyGen = org.scalacheck.Gen.choose(1, 20)
+    .flatMap(n => org.scalacheck.Gen.listOfN(n, fuzzChars)).map(_.mkString)
+  private val tagsGen = org.scalacheck.Gen.choose(0, 5).flatMap(n =>
+    org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.zip(keyGen, strGen))
+      .map(_.map { case (k, v) => OsmTag(k, v) }.toVector))
+  private val idGen = org.scalacheck.Gen.choose(1L, 1L << 40)
+
+  private val entityGen: org.scalacheck.Gen[OsmEntity] = {
+    import org.scalacheck.Gen
+    val node = for {
+      id <- idGen; lat <- Gen.choose(-900000000, 900000000)
+      lon <- Gen.choose(-1800000000, 1800000000)
+      v <- Gen.choose(1, 9); ts <- tagsGen
+    } yield OsmEntity.node(id, lat, lon, version = v, tags = ts)
+    val way = for {
+      id <- idGen; n <- Gen.choose(0, 10); refs <- Gen.listOfN(n, idGen)
+      v <- Gen.choose(1, 9); ts <- tagsGen
+    } yield OsmEntity.way(id, refs.toVector, version = v, tags = ts)
+    val rel = for {
+      id <- idGen; n <- Gen.choose(0, 6)
+      ms <- Gen.listOfN(n, for {
+        t <- Gen.oneOf(OsmKind.Node, OsmKind.Way, OsmKind.Relation)
+        r <- idGen; role <- strGen
+      } yield OsmMember(t, r, role))
+      v <- Gen.choose(1, 9); ts <- tagsGen
+    } yield OsmEntity.relation(id, ms.toVector, version = v, tags = ts)
+    Gen.frequency(5 -> node, 3 -> way, 2 -> rel)
+  }
+  private val corpusGen = org.scalacheck.Gen.choose(0, 40)
+    .flatMap(n => org.scalacheck.Gen.listOfN(n, entityGen)).map(_.toVector)
+
+  test("property: o5m, xml and pbf round-trip ANY random entity mix") {
+    check(org.scalacheck.Prop.forAll(corpusGen) { es =>
+      val (fromO5m, _) = o5mRead(o5mBytes(es))
+      val fromXml = xmlRead(xmlBytes(es))
+      val (fromPbf, _) = pbfRead(pbfBytes(es))
+      fromO5m == es && fromXml == es && fromPbf == es
+    })
+  }
+
+  test("property: pbf round-trips with tiny batches (block boundary fuzz)") {
+    check(org.scalacheck.Prop.forAll(corpusGen) { es =>
+      val bos = new ByteArrayOutputStream()
+      val w = new PbfWriter(bos, "keep", batchLimit = 3)
+      w.writeHeader(Some(testBounds))
+      es.foreach(w.write)
+      w.finish()
+      val (back, _) = pbfRead(bos.toByteArray)
+      back == es
+    })
+  }
+
   test("o5m varint codecs invert for the full value range") {
     val values = Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L, 127L, 128L, 8191L,
       Int.MaxValue.toLong, Int.MinValue.toLong, Long.MaxValue / 2, -(Long.MaxValue / 2))

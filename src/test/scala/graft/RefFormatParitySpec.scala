@@ -232,6 +232,46 @@ class RefFormatParitySpec extends AnyFunSuite {
     }
   }
 
+  // ---- PBF golden fixture ---------------------------------------------------
+  // The reference PBF writer needs the external crosby protobuf classes
+  // (absent in-sandbox), so K2 is pinned by a checked-in golden file
+  // instead of a reference byte-compare: see GoldenPbf's scaladoc.
+
+  private def goldenPbfBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/golden/golden.pbf")
+    assert(in != null, "golden.pbf fixture missing from test resources")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** (blockType, inflated payload) frames of a PBF byte stream. */
+  private def pbfFrames(bytes: Array[Byte]): Vector[(String, Array[Byte])] = {
+    val din = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    Iterator.continually(PbfCodec.readBlock(din)).takeWhile(_.isDefined)
+      .map(_.get).map(b => (b.blockType, PbfCodec.inflateBlob(b.data))).toVector
+  }
+
+  test("pbf writer reproduces the checked-in golden fixture byte-for-byte") {
+    val golden = goldenPbfBytes
+    val fresh = GoldenPbf.bytes
+    // Level 1 (diagnosability): the protobuf payloads must match even if
+    // a future JDK's Deflater emits different (equally valid) zlib bytes.
+    val gf = pbfFrames(golden); val ff = pbfFrames(fresh)
+    assert(gf.size === ff.size)
+    gf.zip(ff).zipWithIndex.foreach { case (((gt, gp), (ft, fp)), i) =>
+      assert(gt === ft, s"frame $i type")
+      assert(gp.sameElements(fp), s"frame $i payload: ${firstDiff(gp, fp)}")
+    }
+    // Level 2: the full file, zlib layer included, on this JDK.
+    assert(golden.sameElements(fresh), firstDiff(golden, fresh))
+  }
+
+  test("pbf reader decodes the golden fixture to the exact corpus") {
+    val r = new PbfReader(new ByteArrayInputStream(goldenPbfBytes))
+    val back = r.toVector
+    assert(r.bounds === Some(GoldenPbf.bounds))
+    assert(back === GoldenPbf.corpus)
+  }
+
   test("our readers consume reference-written o5m and xml losslessly") {
     withHarness {
       val es = corpus
