@@ -74,9 +74,32 @@ object OsmFileSource {
     val p = path.toLowerCase
     if (p.endsWith(".pbf")) "pbf"
     else if (p.endsWith(".o5m")) "o5m"
-    else if (p.endsWith(".osm") || p.endsWith(".osm.gz") || p.endsWith(".xml")) "xml"
+    else if (p.endsWith(".osm") || p.endsWith(".xml") ||
+      Seq(".gz", ".bz2", ".zip").exists(c => p.endsWith(".osm" + c) || p.endsWith(".xml" + c)))
+      "xml"
     else throw new IllegalArgumentException(
-      s"unsupported OSM input (expect .osm[.gz] / .o5m / .pbf): $path")
+      s"unsupported OSM input (expect .osm[.gz|.bz2|.zip] / .o5m / .pbf): $path")
+  }
+
+  /** Decompression for XML inputs, matching the reference's openFile
+    * (Utils.java:86-120): gz and bz2 streams, and for zip the first
+    * entry whose name starts with the archive's basename minus ".zip"
+    * (planet.osm.zip -> an entry named planet.osm*). */
+  def xmlStream(path: String, raw: InputStream): InputStream = {
+    val p = path.toLowerCase
+    if (p.endsWith(".gz")) new GZIPInputStream(raw)
+    else if (p.endsWith(".bz2"))
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(raw)
+    else if (p.endsWith(".zip")) {
+      val zis = new java.util.zip.ZipInputStream(raw)
+      val base = new Path(path).getName
+      val want = base.substring(0, base.length - 4)
+      var entry = zis.getNextEntry
+      while (entry != null && !entry.getName.startsWith(want)) entry = zis.getNextEntry
+      if (entry == null) throw new java.io.IOException(
+        s"no entry starting with $want inside $base")
+      zis
+    } else raw
   }
 }
 
@@ -309,8 +332,7 @@ final class OsmPartitionReader(p: OsmInputPartition, fields: Array[String],
       case "o5m" => new O5mRangeIterator(fs, new Path(p.path), p.start, p.end, spec)
       case _ =>
         val raw: InputStream = new BufferedInputStream(fs.open(new Path(p.path)), 1 << 16)
-        val in = if (p.path.toLowerCase.endsWith(".gz")) new GZIPInputStream(raw) else raw
-        new OsmXmlReader(in, spec)
+        new OsmXmlReader(OsmFileSource.xmlStream(p.path, raw), spec)
     }
   }
 

@@ -284,6 +284,59 @@ class FormatsSpec extends AnyFunSuite {
     })
   }
 
+  test("xml inputs read through bz2 and zip wrappers like the reference openFile") {
+    import graft.sources.OsmFileSource
+    val es = corpus(31, nNodes = 50, nWays = 10, nRels = 3)
+    val xml = xmlBytes(es)
+
+    assert(OsmFileSource.formatOf("planet.osm.bz2") === "xml")
+    assert(OsmFileSource.formatOf("planet.osm.zip") === "xml")
+    assert(OsmFileSource.formatOf("extract.xml.bz2") === "xml")
+    intercept[IllegalArgumentException](OsmFileSource.formatOf("planet.tar"))
+
+    // bz2: commons-compress stream (reference strips the BZ magic for
+    // the ant-era CBZip2InputStream; the compress codec handles it)
+    val bzBytes = {
+      val bos = new ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
+      z.write(xml); z.close()
+      bos.toByteArray
+    }
+    val fromBz = xmlRead2(OsmFileSource.xmlStream("planet.osm.bz2",
+      new ByteArrayInputStream(bzBytes)))
+    assert(fromBz === es)
+
+    // zip: pick the entry starting with the basename minus .zip —
+    // decoys before it must be skipped (Utils.java:101-115)
+    val zipBytes = {
+      val bos = new ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("README.txt"))
+      z.write("not the data".getBytes("UTF-8")); z.closeEntry()
+      z.putNextEntry(new java.util.zip.ZipEntry("planet.osm"))
+      z.write(xml); z.closeEntry()
+      z.close()
+      bos.toByteArray
+    }
+    val fromZip = xmlRead2(OsmFileSource.xmlStream("/data/planet.osm.zip",
+      new ByteArrayInputStream(zipBytes)))
+    assert(fromZip === es)
+
+    // zip with no matching entry throws like the reference
+    val badZip = {
+      val bos = new ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("other.osm"))
+      z.write(xml); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    intercept[java.io.IOException](OsmFileSource.xmlStream("planet.osm.zip",
+      new ByteArrayInputStream(badZip)))
+  }
+
+  private def xmlRead2(in: java.io.InputStream): Vector[OsmEntity] =
+    new OsmXmlReader(in, OsmReadSpec()).toVector
+
   test("o5m varint codecs invert for the full value range") {
     val values = Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L, 127L, 128L, 8191L,
       Int.MaxValue.toLong, Int.MinValue.toLong, Long.MaxValue / 2, -(Long.MaxValue / 2))
