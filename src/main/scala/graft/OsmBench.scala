@@ -186,6 +186,10 @@ object OsmBench {
     val tSplit = timed { OsmSplit.run(spark, splitArgs) } // one-shot: e2e job
     val nTiles = new java.io.File(s"$outDir/tiles").listFiles()
       .count(_.getName.endsWith(".o5m"))
+    // surface the per-step profile before the temp dir is cleaned up
+    try scala.io.Source.fromFile(s"$outDir/metrics.jsonl").getLines()
+      .filter(_.contains("\"timing\"")).foreach(l => System.err.println(s"[osm-bench] $l"))
+    catch { case _: Exception => () }
 
     def mbps(bytes: Long, sec: Double) = bytes / 1e6 / sec
     def eps(sec: Double) = nEnts / sec
@@ -210,8 +214,11 @@ object OsmBench {
         s""""split_e2e_sec":${fmt(tSplit, 3)},"split_e2e_ents_per_sec":${fmt(eps(tSplit), 0)},""" +
         s""""tiles":$nTiles}"""
     println(json)
+    // SPARK_GRAFT_OSM_OUT redirects the artifact (e.g. the 10x stress
+    // run) so it does not clobber the committed two-level result
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("osm_bench_result.json"), json + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_OSM_OUT",
+        "osm_bench_result.json")), json + "\n")
     catch { case _: Exception => () }
     spark.stop()
     try new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()

@@ -57,6 +57,20 @@ object OsmSplit {
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$outDir/metrics.jsonl"))
 
+    // per-step wall time -> metrics.jsonl, so the cost profile of a
+    // run is observable (which stages are fixed-latency vs data-bound)
+    def timeStep[T](step: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/metrics.jsonl"),
+        f"""{"phase":"timing","step":"$step","sec":$sec%.3f}%n""",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      r
+    }
+
     val ents = OsmFileSource.read(spark, a.inputs: _*)
     // kind filter + column prune push into the scan (the reference's
     // skipWays/skipRels/skipTags flags for the density pass)
@@ -66,20 +80,33 @@ object OsmSplit {
         mapUnitCol(col("lon7")).as("lon_mu"))
 
     // ---- phase: split ----------------------------------------------
-    val solved = Main.solveAreas(spark, a, cfg, nodes)
-    val areas = Main.finalizeAreas(spark, a, solved, outDir)
+    val (solved, areas) = timeStep("split_solve") {
+      val s = Main.solveAreas(spark, a, cfg, nodes)
+      (s, Main.finalizeAreas(spark, a, s, outDir))
+    }
     if (a.stopAfter == "split") return "split"
 
     // ---- membership ------------------------------------------------
     val index = SplitPipeline.buildIndex(areas, cfg)
-    val assignment = TileAssigner.withTileIds(spark, nodes,
-      col("lat_mu"), col("lon_mu"), index, cfg.nearestFallback)
-      .localCheckpoint(true) // one scan feeds node, way AND rel joins
+    // NOTE (measured, do not "optimize"): persisting these intermediates
+    // via Dataset.persist to reuse a pre-join hash partitioning
+    // (InMemoryRelation keeps outputPartitioning; localCheckpoint's
+    // ExistingRDD does not) was tried and is 1.5-2x SLOWER end-to-end at
+    // 4.4M ents: the columnar cache encode/decode on every consumer
+    // outweighs the saved exchanges of these narrow rows. localCheckpoint
+    // stores raw UnsafeRows — cheap to write and re-scan.
+    val assignment = timeStep("node_assignment") {
+      TileAssigner.withTileIds(spark, nodes,
+        col("lat_mu"), col("lon_mu"), index, cfg.nearestFallback)
+        .localCheckpoint(true) // one scan feeds node, way AND rel joins
+    }
 
     val ways = ents.where(col("kind") === lit("way"))
       .select(col("id").as("link_id"), col("refs").as("member_ids"))
-    val wayTiles = LinkMembership.linkTiles(ways, assignment, salted = true)
-      .localCheckpoint(true) // (link_id, tile_ids, is_problem)
+    val wayTiles = timeStep("way_membership") {
+      LinkMembership.linkTiles(ways, assignment, salted = true)
+        .localCheckpoint(true) // (link_id, tile_ids, is_problem)
+    }
 
     // relation member edges; sub-relation membership via the J8 closure
     val relMembers = ents.where(col("kind") === lit("relation"))
@@ -89,9 +116,11 @@ object OsmSplit {
       .select(col("rel_id").as("parent_id"), col("ref").as("child_id"))
     // (rel_id, reachable rel) including itself, so direct members and
     // sub-relation members resolve through one frame
-    val reach = relMembers.select(col("rel_id")).distinct()
-      .select(col("rel_id").as("root_id"), col("rel_id").as("leaf_id"))
-      .unionByName(ProblemJoins.membershipClosure(relEdges))
+    val reach = timeStep("rel_closure") {
+      relMembers.select(col("rel_id")).distinct()
+        .select(col("rel_id").as("root_id"), col("rel_id").as("leaf_id"))
+        .unionByName(ProblemJoins.membershipClosure(relEdges))
+    }
     val resolvedMembers = reach
       .join(relMembers.withColumnRenamed("rel_id", "leaf_id"), "leaf_id")
       .select(col("root_id").as("rel_id"), col("mtype"), col("ref"))
@@ -99,11 +128,13 @@ object OsmSplit {
       .join(assignment.select(col("doc_id").as("ref"), col("tile_ids")), "ref")
     val relWayTiles = resolvedMembers.where(col("mtype") === lit("way"))
       .join(wayTiles.select(col("link_id").as("ref"), col("tile_ids")), "ref")
-    val relTiles = relNodeTiles.unionByName(relWayTiles)
-      .select(col("rel_id"), explode(col("tile_ids")).as("tid"))
-      .groupBy("rel_id")
-      .agg(sort_array(collect_set(col("tid"))).as("tile_ids"))
-      .localCheckpoint(true)
+    val relTiles = timeStep("rel_membership") {
+      relNodeTiles.unionByName(relWayTiles)
+        .select(col("rel_id"), explode(col("tile_ids")).as("tid"))
+        .groupBy("rel_id")
+        .agg(sort_array(collect_set(col("tid"))).as("tile_ids"))
+        .localCheckpoint(true)
+    }
 
     // ---- phase: gen-problem-list -----------------------------------
     val reportPath =
@@ -115,7 +146,9 @@ object OsmSplit {
       } else a.problemReport.getOrElse(s"$outDir/problem.list")
     val problemWays = wayTiles.where(col("is_problem")).select(col("link_id"))
     val problemRels = relTiles.where(size(col("tile_ids")) > 1).select(col("rel_id"))
-    val nProblems = AreaWriters.writeProblemListKinds(reportPath, problemWays, problemRels)
+    val nProblems = timeStep("problem_list") {
+      AreaWriters.writeProblemListKinds(reportPath, problemWays, problemRels)
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/metrics.jsonl"),
       s"""{"phase":"gen-problem-list","problems":$nProblems}""" + "\n",
@@ -187,40 +220,48 @@ object OsmSplit {
     // the membership join into the sink's map_id shuffle; each
     // --max-areas pass re-reads the (cheap, byte-range-parallel)
     // source instead of a materialized wide intermediate.
+    // (A repartition(kind, id) here — one exchange serving both the
+    // distinct and the sink's assembly join — also measured slower:
+    // it forfeits the distinct's map-side partial dedup. Measured, not
+    // guessed; see BENCH/BASELINE.md round-6 notes.)
     val pairs = nodeBase.unionByName(nodeExtra).withColumn("kind", lit("node"))
       .unionByName(wayAll.withColumn("kind", lit("way")))
       .unionByName(relAssign.withColumn("kind", lit("relation")))
       .select(col("kind"), col("id"), (col("tid") + startId).as("map_id"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timeStep("assign_pairs")(pairs.count()) // materialize once, timed apart
+                                            // from the first sink pass
 
     def assembledOf(p: DataFrame): DataFrame = ents.join(p, Seq("kind", "id"))
 
     val mapIds = areas.map(_.mapId)
-    a.output match {
-      case "o5m" | "xml" | "pbf" =>
-        val tilesDir = s"$outDir/tiles"
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tilesDir))
-        // --max-areas: at most maxAreas tile FILES open per pass
-        // (reference Main.java:526) — pass count must not change bytes
-        mapIds.grouped(a.maxAreas).foreach { chunk =>
-          OsmTileSink.write(
-            assembledOf(pairs.where(col("map_id").isin(chunk.map(Int.box): _*))),
-            tilesDir, a.output, areas, a.handleElementVersion)
-        }
-      case _ =>
-        if (mapIds.size <= a.maxAreas)
-          TileAssigner.writePartitioned(assembledOf(pairs), s"$outDir/tiles",
-            a.handleElementVersion)
-        else
-          mapIds.grouped(a.maxAreas).zipWithIndex.foreach { case (chunk, pass) =>
-            TileAssigner.writePartitioned(
+    timeStep("tile_sink") {
+      a.output match {
+        case "o5m" | "xml" | "pbf" =>
+          val tilesDir = s"$outDir/tiles"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tilesDir))
+          // --max-areas: at most maxAreas tile FILES open per pass
+          // (reference Main.java:526) — pass count must not change bytes
+          mapIds.grouped(a.maxAreas).foreach { chunk =>
+            OsmTileSink.write(
               assembledOf(pairs.where(col("map_id").isin(chunk.map(Int.box): _*))),
-              s"$outDir/tiles", a.handleElementVersion,
-              mode = if (pass == 0) "overwrite" else "append")
+              tilesDir, a.output, areas, a.handleElementVersion)
           }
+        case _ =>
+          if (mapIds.size <= a.maxAreas)
+            TileAssigner.writePartitioned(assembledOf(pairs), s"$outDir/tiles",
+              a.handleElementVersion)
+          else
+            mapIds.grouped(a.maxAreas).zipWithIndex.foreach { case (chunk, pass) =>
+              TileAssigner.writePartitioned(
+                assembledOf(pairs.where(col("map_id").isin(chunk.map(Int.box): _*))),
+                s"$outDir/tiles", a.handleElementVersion,
+                mode = if (pass == 0) "overwrite" else "append")
+            }
+      }
     }
-    SplitPipeline.recordMetrics(pairs, "dist", outDir)
+    timeStep("dist_metrics")(SplitPipeline.recordMetrics(pairs, "dist", outDir))
     pairs.unpersist(false)
     "dist"
   }
