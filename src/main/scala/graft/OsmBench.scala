@@ -136,8 +136,9 @@ object OsmBench {
 
     // ---- setup (untimed): write the three input layouts ----
     // planet.o5m carries periodic reset markers (resetEvery = 4 MiB) so
-    // the SINGLE file byte-range-splits like the pbf — the scale layout
-    // this engine's own o5m sink emits
+    // the SINGLE file byte-range-splits like the pbf — the layout the
+    // engine's tile sink can opt into via o5mResetEvery (its default 0
+    // keeps reference byte parity)
     val pbfBytes = writeAll(s"$dir/planet.pbf", entities(nNodes))
     val o5mBytes = writeAll(s"$dir/planet.o5m", entities(nNodes),
       o5mResetEvery = 4L << 20)

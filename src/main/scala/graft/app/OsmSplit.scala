@@ -65,7 +65,8 @@ object OsmSplit {
       val sec = (System.nanoTime() - t0) / 1e9
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/metrics.jsonl"),
-        f"""{"phase":"timing","step":"$step","sec":$sec%.3f}%n""",
+        String.format(java.util.Locale.ROOT, // comma-decimal locales would break the JSON
+          "{\"phase\":\"timing\",\"step\":\"%s\",\"sec\":%.3f}\n", step, Double.box(sec)),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       r
@@ -242,12 +243,24 @@ object OsmSplit {
           val tilesDir = s"$outDir/tiles"
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tilesDir))
           // --max-areas: at most maxAreas tile FILES open per pass
-          // (reference Main.java:526) — pass count must not change bytes
+          // (reference Main.java:526) — pass count must not change bytes.
+          // Each pass gets ONLY its chunk's areas (bounds + empty-tile
+          // backfill scope to the pass, not the whole area list).
+          var written = 0L
           mapIds.grouped(a.maxAreas).foreach { chunk =>
-            OsmTileSink.write(
+            val chunkSet = chunk.toSet
+            written += OsmTileSink.write(
               assembledOf(pairs.where(col("map_id").isin(chunk.map(Int.box): _*))),
-              tilesDir, a.output, areas, a.handleElementVersion)
+              tilesDir, a.output, areas.filter(ar => chunkSet(ar.mapId)),
+              a.handleElementVersion)
           }
+          // rows ACTUALLY written (assignments whose entity exists in the
+          // input; dangling refs on clipped extracts drop at the join)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/metrics.jsonl"),
+            s"""{"phase":"dist","rows_written":$written}""" + "\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
         case _ =>
           if (mapIds.size <= a.maxAreas)
             TileAssigner.writePartitioned(assembledOf(pairs), s"$outDir/tiles",
@@ -261,7 +274,10 @@ object OsmSplit {
             }
       }
     }
-    timeStep("dist_metrics")(SplitPipeline.recordMetrics(pairs, "dist", outDir))
+    // per-partition counts of the ASSIGNMENT pairs (distinct from the
+    // written rows above: pairs whose entity is missing from a clipped
+    // input never reach a tile)
+    timeStep("dist_metrics")(SplitPipeline.recordMetrics(pairs, "dist_pairs", outDir))
     pairs.unpersist(false)
     "dist"
   }

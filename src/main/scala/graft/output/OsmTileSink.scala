@@ -51,9 +51,9 @@ object OsmTileSink {
   private def deg7(mu: Int): Long = (MapUnits.toDegrees(mu) * 1e7).toLong
 
   private def open(out: OutputStream, format: String, rect: graft.geo.TileRect,
-      versionPolicy: String): EntitySink = format match {
+      versionPolicy: String, o5mResetEvery: Long = 0L): EntitySink = format match {
     case "o5m" =>
-      val w = new O5mWriter(out, versionPolicy)
+      val w = new O5mWriter(out, versionPolicy, resetEvery = o5mResetEvery)
       w.writeBounds(OsmBounds(deg7(rect.minLat), deg7(rect.minLon),
         deg7(rect.maxLat), deg7(rect.maxLon)))
       new EntitySink {
@@ -99,21 +99,37 @@ object OsmTileSink {
    * (map_id, kind, id, lat7, lon7, version, tags, refs, members);
    * `areas` provides each tile's bounds for the file header.
    *
-   * Commit protocol: each task writes to attempt-scoped temp names
-   * (`_tmp_<tile>.<attemptId>`) and renames into place only after the
-   * whole partition succeeded, so a retried or speculative attempt can
-   * never interleave bytes into a live tile file; losers' temps are
-   * deleted by the task-completion listener. Tiles with ZERO assigned
-   * entities still get a header-only file afterwards — the reference
-   * opens one writer per area up front (OSMWriter.initForWrite) and
-   * template.args references every area's file.
+   * Commit protocol: stale outputs of a previous run are deleted ONCE
+   * on the driver before the job; each task then writes to
+   * attempt-scoped temp names (`_tmp_<tile>.<attemptId>`) and renames
+   * into place FIRST-WINS after the whole partition succeeded (content
+   * is deterministic — sorted (map_id, kind, id) — so identical across
+   * attempts; a loser just drops its temp). Tasks never delete a live
+   * tile, so a zombie/speculative attempt cannot race the driver-side
+   * empty-tile backfill into clobbering a full file. Tiles with ZERO
+   * assigned entities still get a header-only file afterwards (written
+   * via temp + rename too) — the reference opens one writer per area
+   * up front (OSMWriter.initForWrite) and template.args references
+   * every area's file.
+   *
+   * `areas` should be exactly the areas this call may write (the
+   * caller's --max-areas chunk): bounds lookup and empty-tile backfill
+   * both scope to it.
+   *
+   * `o5mResetEvery` > 0 makes o5m tiles carry the sync-marked reset
+   * datasets that let this engine's own source byte-range-split them;
+   * the default 0 keeps byte parity with the reference writer.
+   *
+   * @return number of entity rows written across all tiles
    */
   def write(assigned: DataFrame, outDir: String, format: String,
-      areas: Seq[AreaDef], versionPolicy: String = "keep"): Unit = {
+      areas: Seq[AreaDef], versionPolicy: String = "keep",
+      o5mResetEvery: Long = 0L): Long = {
     val spark = assigned.sparkSession
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val rects: Map[Int, graft.geo.TileRect] = areas.map(a => a.mapId -> a.rect).toMap
     val ext = extensionOf(format)
+    val rowsWritten = spark.sparkContext.longAccumulator("osm_tile_rows")
 
     val kindRank = when(col("kind") === OsmKind.Node, 0)
       .when(col("kind") === OsmKind.Way, 1).otherwise(2)
@@ -123,6 +139,16 @@ object OsmTileSink {
         col("tags"), col("refs"), col("members"), col("version").cast("int"))
       .repartition(col("map_id"))
       .sortWithinPartitions(col("map_id"), kindRank, col("id"))
+
+    // overwrite semantics of a re-run land here, on the driver, BEFORE
+    // any attempt exists — tasks themselves never delete a tile
+    locally {
+      val fs = new Path(outDir).getFileSystem(conf.value)
+      areas.foreach { a =>
+        val f = new Path(outDir, f"${a.mapId}%08d.$ext")
+        if (fs.exists(f)) fs.delete(f, false)
+      }
+    }
 
     rows.foreachPartition { (it: Iterator[Row]) =>
       val fs = new Path(outDir).getFileSystem(conf.value)
@@ -146,31 +172,45 @@ object OsmTileSink {
           val tmp = new Path(outDir, f"_tmp_$mapId%08d.$ext.$attempt")
           temps += ((tmp, new Path(outDir, f"$mapId%08d.$ext")))
           sink = open(new BufferedOutputStream(fs.create(tmp, true), 1 << 16),
-            format, rect, versionPolicy)
+            format, rect, versionPolicy, o5mResetEvery)
           cur = mapId
         }
         sink.write(entityOf(r))
+        rowsWritten.add(1L)
       }
       if (sink != null) sink.finish()
-      // task-level commit: all files complete, move them into place
+      // task-level commit, FIRST-WINS: if another attempt already
+      // renamed its (byte-identical) file into place, drop ours —
+      // never delete the live tile
       temps.foreach { case (tmp, dst) =>
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        if (!fs.rename(tmp, dst)) {
+          if (!fs.exists(dst))
+            throw new java.io.IOException(s"rename $tmp -> $dst failed")
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+        }
       }
       committed = true
     }
 
     // header-only files for areas no entity mapped to (reference parity:
-    // every area has a file, even if empty)
+    // every area has a file, even if empty); temp + rename so a driver
+    // crash can't leave a truncated file, create-if-absent so a late
+    // full-file commit is never replaced
     val fs = new Path(outDir).getFileSystem(conf.value)
     areas.foreach { a =>
       val f = new Path(outDir, f"${a.mapId}%08d.$ext")
       if (!fs.exists(f)) {
-        val sink = open(new BufferedOutputStream(fs.create(f, true), 1 << 16),
-          format, a.rect, versionPolicy)
+        val tmp = new Path(outDir, f"_tmp_${a.mapId}%08d.$ext.backfill")
+        val sink = open(new BufferedOutputStream(fs.create(tmp, true), 1 << 16),
+          format, a.rect, versionPolicy, o5mResetEvery)
         sink.finish()
+        if (!fs.rename(tmp, f)) {
+          if (!fs.exists(f))
+            throw new java.io.IOException(s"rename $tmp -> $f failed")
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+        }
       }
     }
+    rowsWritten.value
   }
 }

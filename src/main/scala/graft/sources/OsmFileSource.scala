@@ -545,15 +545,22 @@ final class O5mRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
     end
   }
 
-  private val segStart: Long = if (start == 0L) 0L else resync(start)
-
+  // one stream serves both roles: positional reads for resync, then a
+  // seek + sequential reads for the decoder. A constructor failure
+  // (truncated/corrupt range) must close it — the caller never gets a
+  // reference to call close() on.
   private val reader: O5mReader =
-    if (segStart >= end || segStart >= fileLen) null
-    else {
-      val raw = fs.open(path)
-      raw.seek(segStart)
-      new O5mReader(new BufferedInputStream(raw, 1 << 16), spec,
-        stopAtResetFrom = end - segStart)
+    try {
+      val segStart = if (start == 0L) 0L else resync(start)
+      if (segStart >= end || segStart >= fileLen) null
+      else {
+        in.seek(segStart)
+        new O5mReader(new BufferedInputStream(in, 1 << 16), spec,
+          stopAtResetFrom = end - segStart)
+      }
+    } catch { case t: Throwable =>
+      try in.close() catch { case _: Exception => () }
+      throw t
     }
 
   override def hasNext: Boolean = reader != null && reader.hasNext
@@ -561,8 +568,8 @@ final class O5mRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
     if (reader == null) throw new NoSuchElementException else reader.next()
   override def close(): Unit = if (!closed) {
     closed = true
-    in.close()
     if (reader != null) reader.close()
+    try in.close() catch { case _: Exception => () }
   }
 }
 
