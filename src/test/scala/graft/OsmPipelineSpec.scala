@@ -265,6 +265,68 @@ class OsmPipelineSpec extends AnyFunSuite {
     assert(allTileNodes === es.filter(_.kind == OsmKind.Node).map(_.id).toSet)
   }
 
+  test("tile sink: rerun overwrite, empty-area backfill, splittable o5m opt-in") {
+    import graft.geo.MapUnits
+    import graft.output.{AreaDef, OsmTileSink}
+    val es = corpus(4000)
+    val dir = tmpDir()
+    writeFile(s"$dir/in.o5m", es)
+    val ents = spark.read.format("osm").load(s"$dir/in.o5m")
+    // nodes split at 24E; ways/rels all west; a third area gets NOTHING
+    val assigned = ents.withColumn("map_id",
+      when(col("kind") === "node" && col("lon7") >= 240000000L, lit(8002))
+        .otherwise(lit(8001)))
+    def mu(deg: Double) = MapUnits.toMapUnit(deg)
+    val areas = Seq(
+      AreaDef(8001, graft.geo.TileRect(mu(8.0), mu(18.0), mu(18.0), mu(24.0))),
+      AreaDef(8002, graft.geo.TileRect(mu(8.0), mu(24.0), mu(18.0), mu(30.0))),
+      AreaDef(8003, graft.geo.TileRect(mu(-40.0), mu(-40.0), mu(-30.0), mu(-30.0))))
+    val tilesDir = s"$dir/tiles"
+    Files.createDirectories(java.nio.file.Paths.get(tilesDir))
+
+    val written1 = OsmTileSink.write(assigned, tilesDir, "o5m", areas)
+    assert(written1 === es.size.toLong)
+    def tileBytes(id: Int): Array[Byte] =
+      Files.readAllBytes(java.nio.file.Paths.get(tilesDir, f"$id%08d.o5m"))
+    def tileEnts(id: Int): Vector[OsmEntity] = {
+      val r = new O5mReader(new BufferedInputStream(new FileInputStream(
+        new java.io.File(tilesDir, f"$id%08d.o5m"))))
+      val v = r.toVector; r.close(); v
+    }
+    val east = tileEnts(8002)
+    assert(east.nonEmpty && east.forall(e => e.kind == OsmKind.Node && e.lon7 >= 240000000L))
+    assert(tileEnts(8001).map(key).toSet ++ east.map(key) === es.map(key).toSet)
+    // the empty area still produced a parseable header-only file
+    // (reference initForWrite parity; template.args references it)
+    assert(tileEnts(8003).isEmpty)
+    assert(new java.io.File(tilesDir).listFiles().forall(!_.getName.startsWith("_tmp_")))
+
+    // rerun into the SAME directory: overwrite semantics (driver
+    // pre-clean + first-wins rename) must reproduce identical bytes
+    val before = Seq(8001, 8002, 8003).map(tileBytes)
+    val written2 = OsmTileSink.write(assigned, tilesDir, "o5m", areas)
+    assert(written2 === written1)
+    Seq(8001, 8002, 8003).map(tileBytes).zip(before).zipWithIndex.foreach {
+      case ((now, was), i) => assert(now.sameElements(was), s"tile index $i changed on rerun")
+    }
+
+    // o5mResetEvery opt-in: engine-written tiles become byte-range
+    // splittable for this engine's own source
+    val dir2 = s"$dir/tiles_split"
+    Files.createDirectories(java.nio.file.Paths.get(dir2))
+    OsmTileSink.write(assigned, dir2, "o5m", areas, o5mResetEvery = 4096L)
+    val tile1 = new org.apache.hadoop.fs.Path(s"$dir2/00008001.o5m")
+    val fs = tile1.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.sources.O5mRangeIterator.isSplittable(fs, tile1))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      val df = spark.read.format("osm").load(s"$dir2/00008001.o5m")
+      assert(df.rdd.getNumPartitions > 1, "splittable tile must fan out")
+      assert(df.count() === tileEnts(8001).size.toLong)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("streaming OSM source: new file drops arrive as micro-batches") {
     val dir = tmpDir()
     writeFile(s"$dir/a.o5m", corpus(400))
