@@ -188,9 +188,10 @@ object OsmBench {
     val nTiles = new java.io.File(s"$outDir/tiles").listFiles()
       .count(_.getName.endsWith(".o5m"))
     // surface the per-step profile before the temp dir is cleaned up
-    try scala.io.Source.fromFile(s"$outDir/metrics.jsonl").getLines()
-      .filter(_.contains("\"timing\"")).foreach(l => System.err.println(s"[osm-bench] $l"))
-    catch { case _: Exception => () }
+    try java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$outDir/metrics.jsonl")).forEach { l =>
+      if (l.contains("\"timing\"")) System.err.println(s"[osm-bench] $l")
+    } catch { case _: Exception => () }
 
     def mbps(bytes: Long, sec: Double) = bytes / 1e6 / sec
     def eps(sec: Double) = nEnts / sec

@@ -81,9 +81,8 @@ object OsmSplit {
         mapUnitCol(col("lon7")).as("lon_mu"))
 
     // ---- phase: split ----------------------------------------------
-    val (solved, areas) = timeStep("split_solve") {
-      val s = Main.solveAreas(spark, a, cfg, nodes)
-      (s, Main.finalizeAreas(spark, a, s, outDir))
+    val areas = timeStep("split_solve") {
+      Main.finalizeAreas(spark, a, Main.solveAreas(spark, a, cfg, nodes), outDir)
     }
     if (a.stopAfter == "split") return "split"
 
@@ -117,14 +116,18 @@ object OsmSplit {
       .select(col("rel_id").as("parent_id"), col("ref").as("child_id"))
     // (rel_id, reachable rel) including itself, so direct members and
     // sub-relation members resolve through one frame
-    val reach = timeStep("rel_closure") {
-      relMembers.select(col("rel_id")).distinct()
+    // resolvedMembers feeds FOUR consumers (rel node/way tiles, wayAll,
+    // nodeExtra) — checkpointed so the closure join runs once, which also
+    // makes the rel_closure timing cover the whole closure resolution
+    val resolvedMembers = timeStep("rel_closure") {
+      val reach = relMembers.select(col("rel_id")).distinct()
         .select(col("rel_id").as("root_id"), col("rel_id").as("leaf_id"))
         .unionByName(ProblemJoins.membershipClosure(relEdges))
+      reach
+        .join(relMembers.withColumnRenamed("rel_id", "leaf_id"), "leaf_id")
+        .select(col("root_id").as("rel_id"), col("mtype"), col("ref"))
+        .localCheckpoint(true)
     }
-    val resolvedMembers = reach
-      .join(relMembers.withColumnRenamed("rel_id", "leaf_id"), "leaf_id")
-      .select(col("root_id").as("rel_id"), col("mtype"), col("ref"))
     val relNodeTiles = resolvedMembers.where(col("mtype") === lit("node"))
       .join(assignment.select(col("doc_id").as("ref"), col("tile_ids")), "ref")
     val relWayTiles = resolvedMembers.where(col("mtype") === lit("way"))

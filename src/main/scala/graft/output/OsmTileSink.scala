@@ -156,13 +156,19 @@ object OsmTileSink {
         .map(_.taskAttemptId()).getOrElse(0L)
       val temps = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
       var committed = false
-      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-        if (!committed) temps.foreach { case (tmp, _) =>
-          try fs.delete(tmp, false) catch { case _: Exception => () }
-        }
-      })
       var cur = Int.MinValue
       var sink: EntitySink = null
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        if (!committed) {
+          // a failed attempt leaves the current sink open — close it
+          // before dropping the temps or the fd (and on HDFS the
+          // output-stream lease) leaks across retries
+          if (sink != null) try sink.finish() catch { case _: Exception => () }
+          temps.foreach { case (tmp, _) =>
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+          }
+        }
+      })
       it.foreach { r =>
         val mapId = r.getInt(0)
         if (mapId != cur) {
@@ -178,7 +184,7 @@ object OsmTileSink {
         sink.write(entityOf(r))
         rowsWritten.add(1L)
       }
-      if (sink != null) sink.finish()
+      if (sink != null) { sink.finish(); sink = null }
       // task-level commit, FIRST-WINS: if another attempt already
       // renamed its (byte-identical) file into place, drop ours —
       // never delete the live tile

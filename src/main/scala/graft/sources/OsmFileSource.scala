@@ -125,10 +125,13 @@ final class OsmDataSource extends TableProvider with org.apache.spark.sql.source
 }
 
 object OsmDataSource {
+  /** Shared mapper (thread-safe once configured) — streaming offsets
+    * serialize every micro-batch; don't rebuild it each call. */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Real JSON parsing (Jackson ships on Spark's classpath): paths with
     * commas or quotes must round-trip, not split on bare commas. */
   private[sources] def parseJsonStringArray(json: String): Seq[String] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(json)
     require(node.isArray, s"expected a JSON string array, got: $json")
     (0 until node.size()).map { i =>
@@ -139,7 +142,6 @@ object OsmDataSource {
   }
 
   private[sources] def toJsonStringArray(items: Seq[String]): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = mapper.createArrayNode()
     items.foreach(arr.add)
     mapper.writeValueAsString(arr)
@@ -253,7 +255,7 @@ object OsmScan {
       val len = fs.getFileStatus(path).getLen
       val fmt = OsmFileSource.formatOf(f)
       val splittable = fmt == "pbf" ||
-        (fmt == "o5m" && O5mRangeIterator.isSplittable(fs, path))
+        (fmt == "o5m" && O5mRangeIterator.isSplittable(fs, path, len))
       if (splittable) {
         var off = 0L
         while (off < len) {
@@ -576,10 +578,12 @@ final class O5mRangeIterator(fs: FileSystem, path: Path, start: Long, end: Long,
 object O5mRangeIterator {
   /** Splittable o5m files carry a sync point right after the header
     * (writer ctor with `resetEvery` > 0), so one 64-byte probe of the
-    * file head decides whether byte-range partitions are safe. */
-  def isSplittable(fs: FileSystem, path: Path): Boolean = {
+    * file head decides whether byte-range partitions are safe. Pass the
+    * already-known file length — the planner statted the file once; a
+    * second getFileStatus per file doubles the driver's metadata
+    * round-trips on large shard directories. */
+  def isSplittable(fs: FileSystem, path: Path, len: Long): Boolean = {
     val sig = graft.formats.O5mConst.SyncSignature
-    val len = fs.getFileStatus(path).getLen
     val n = math.min(64L, len).toInt
     if (n < sig.length) return false
     val head = new Array[Byte](n)

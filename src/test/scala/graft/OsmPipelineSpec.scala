@@ -317,7 +317,8 @@ class OsmPipelineSpec extends AnyFunSuite {
     OsmTileSink.write(assigned, dir2, "o5m", areas, o5mResetEvery = 4096L)
     val tile1 = new org.apache.hadoop.fs.Path(s"$dir2/00008001.o5m")
     val fs = tile1.getFileSystem(spark.sessionState.newHadoopConf())
-    assert(graft.sources.O5mRangeIterator.isSplittable(fs, tile1))
+    assert(graft.sources.O5mRangeIterator.isSplittable(fs, tile1,
+      fs.getFileStatus(tile1).getLen))
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
       spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
