@@ -22,17 +22,47 @@ object GeoNames {
       .otherwise(((deg - delta) * (1 << 24) / 360).cast("int"))
   }
 
+  /** geonames.org ships cities files as .zip (cities15000.zip); the
+    * reference opens them through Utils.openFile (CityLoader.java:50),
+    * selecting the entry matching the archive basename. Spark's csv
+    * reader handles .gz/.bz2 by codec but not zip, so extract the
+    * entry to a local temp file on the driver — the cities table is a
+    * few-MB broadcast dimension, never distributed-scan data. */
+  private def unzipToTemp(spark: SparkSession, path: String): String = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.BufferedInputStream(fs.open(hPath), 1 << 16))
+    try {
+      val base = hPath.getName
+      val want = base.substring(0, base.length - 4)
+      var e = zis.getNextEntry
+      while (e != null && !e.getName.startsWith(want)) e = zis.getNextEntry
+      if (e == null)
+        throw new java.io.IOException(s"no entry starting with $want inside $base")
+      val tmp = java.nio.file.Files.createTempFile("geonames", ".txt")
+      tmp.toFile.deleteOnExit()
+      val out = java.nio.file.Files.newOutputStream(tmp)
+      try zis.transferTo(out) finally out.close()
+      tmp.toString
+    } finally zis.close()
+  }
+
   /**
    * Load a cities file: (city_id, city_name, country_code, population,
    * lat_mu, lon_mu). `useAsciiNames` mirrors the reference's
-   * CityLoader(true) used for tile naming.
+   * CityLoader(true) used for tile naming. Accepts the dump as plain
+   * .txt, .gz/.bz2 (Spark codecs) or the distributed .zip form
+   * (reference Utils.openFile parity).
    */
   def loadCities(spark: SparkSession, path: String,
                  useAsciiNames: Boolean = true): DataFrame = {
+    val readPath =
+      if (path.toLowerCase.endsWith(".zip")) unzipToTemp(spark, path) else path
     val raw = spark.read
       .option("sep", "\t")
       .option("quote", "\u0000") // geonames is unquoted raw-tab format
-      .csv(path)
+      .csv(readPath)
     val lat = expr("try_cast(_c4 AS DOUBLE)")
     val lon = expr("try_cast(_c5 AS DOUBLE)")
     raw.select(

@@ -57,6 +57,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(raw.getString(1) === "München")
   }
 
+  test("geonames loader reads the distributed .zip form like the reference") {
+    val dir = Files.createTempDirectory("geonames_zip").toString
+    val txt = Seq(
+      col16(1, "München", "Munich", 48.1374, 11.5755, "DE", 1260391L),
+      col16(2, "Lima", "Lima", -12.0432, -77.0282, "PE", 7737002L))
+      .mkString("\n")
+    val zipPath = s"$dir/cities15000.zip"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+    zos.write("not the data".getBytes("UTF-8")); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("cities15000.txt"))
+    zos.write(txt.getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    val cities = GeoNames.loadCities(spark, zipPath).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(cities.keySet === Set(1L, 2L))
+    assert(cities(1L).getString(1) === "Munich")
+    assert(cities(2L).getInt(4) === MapUnits.toMapUnit(-12.0432))
+    // archives without a matching entry fail loudly (Utils.java:108-113)
+    val badZip = s"$dir/other.zip"
+    val z2 = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(badZip))
+    z2.putNextEntry(new java.util.zip.ZipEntry("unrelated.txt"))
+    z2.write(txt.getBytes("UTF-8")); z2.closeEntry(); z2.close()
+    intercept[java.io.IOException](GeoNames.loadCities(spark, badZip).collect())
+  }
+
   test("geonames tile naming picks top population with CC- prefix") {
     import spark.implicits._
     val tiles = Seq((100L, 0L, 0L, 1000L, 1000L), (200L, 0L, 1000L, 1000L, 2000L))
