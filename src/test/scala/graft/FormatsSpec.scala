@@ -284,6 +284,26 @@ class FormatsSpec extends AnyFunSuite {
     })
   }
 
+  test("xml reader ignores real-world metadata attributes it does not model") {
+    // planet dumps carry timestamp/uid/user/changeset/visible on every
+    // element; the reader must skip them by name, not by position
+    val raw =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6" generator="openstreetmap-cgimap 2.0.1">
+        |<node id="7" lat="1.5" lon="-2.25" version="3" timestamp="2024-01-02T03:04:05Z" uid="42" user="mapper &amp; co" changeset="123456" visible="true"/>
+        |<way id="9" version="2" timestamp="2024-01-02T03:04:05Z" uid="42" user="m" changeset="123457">
+        |<nd ref="7"/>
+        |<tag k="highway" v="residential"/>
+        |</way>
+        |</osm>
+        |""".stripMargin.getBytes("UTF-8")
+    val es = xmlRead(raw)
+    assert(es.map(e => (e.kind, e.id, e.version)) ===
+      Vector((OsmKind.Node, 7L, 3), (OsmKind.Way, 9L, 2)))
+    assert(es.head.lat7 === 15000000 && es.head.lon7 === -22500000)
+    assert(es(1).refs === Vector(7L) && es(1).tags === Vector(OsmTag("highway", "residential")))
+  }
+
   test("xml inputs read through bz2 and zip wrappers like the reference openFile") {
     import graft.sources.OsmFileSource
     val es = corpus(31, nNodes = 50, nWays = 10, nRels = 3)
