@@ -180,6 +180,37 @@ class OsmPipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("o5m range ownership tiles the file for ARBITRARY split points") {
+    // the planner uses uniform boundaries; the ownership contract must
+    // hold for ANY cut points — including cuts inside a sync signature,
+    // exactly on a reset, and sliver-sized ranges
+    val es = corpus(3000)
+    val dir = tmpDir()
+    val f = s"$dir/in.o5m"
+    val fos = new FileOutputStream(f)
+    val w = new O5mWriter(fos, resetEvery = 2048)
+    es.foreach(w.write); w.finish(); fos.close()
+    val path = new org.apache.hadoop.fs.Path(f)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val len = fs.getFileStatus(path).getLen
+    val want = es.map(key)
+
+    val rnd = new Random(20260818)
+    for (trial <- 0 until 25) {
+      val k = 1 + rnd.nextInt(7)
+      val cuts = (0L +: Vector.fill(k)(1L + (rnd.nextLong().abs % (len - 1))) :+ len)
+        .distinct.sorted
+      val got = cuts.sliding(2).flatMap { case Seq(s, e) =>
+        val it = new graft.sources.O5mRangeIterator(fs, path, s, e, OsmReadSpec())
+        try it.toVector.map(key) finally it.close()
+      }.toVector
+      assert(got.size === want.size,
+        s"trial $trial cuts=${cuts.mkString(",")}: ${got.size} vs ${want.size}")
+      assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+        want.groupBy(identity).view.mapValues(_.size).toMap, s"trial $trial")
+    }
+  }
+
   test("OsmSplit.mapUnitCol matches the reference parse arithmetic exactly") {
     import spark.implicits._
     val vals = Seq(0, 1, -1, 467000000, -467000000, 849999999, -850000000,
