@@ -25,10 +25,12 @@ object GeoNames {
   /** geonames.org ships cities files as .zip (cities15000.zip); the
     * reference opens them through Utils.openFile (CityLoader.java:50),
     * selecting the entry matching the archive basename. Spark's csv
-    * reader handles .gz/.bz2 by codec but not zip, so extract the
-    * entry to a local temp file on the driver — the cities table is a
-    * few-MB broadcast dimension, never distributed-scan data. */
-  private def unzipToTemp(spark: SparkSession, path: String): String = {
+    * reader handles .gz/.bz2 by codec but not zip, so decode the entry
+    * on the driver and hand the LINES to spark.read.csv — no temp file,
+    * so this works on a real cluster where a driver-local path is
+    * invisible to executors (the cities table is a few-MB broadcast
+    * dimension; driver memory is the right place for it). */
+  private def unzipLines(spark: SparkSession, path: String): Seq[String] = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val zis = new java.util.zip.ZipInputStream(
@@ -40,11 +42,9 @@ object GeoNames {
       while (e != null && !e.getName.startsWith(want)) e = zis.getNextEntry
       if (e == null)
         throw new java.io.IOException(s"no entry starting with $want inside $base")
-      val tmp = java.nio.file.Files.createTempFile("geonames", ".txt")
-      tmp.toFile.deleteOnExit()
-      val out = java.nio.file.Files.newOutputStream(tmp)
-      try zis.transferTo(out) finally out.close()
-      tmp.toString
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(zis, java.nio.charset.StandardCharsets.UTF_8))
+      Iterator.continually(r.readLine()).takeWhile(_ != null).toVector
     } finally zis.close()
   }
 
@@ -57,12 +57,14 @@ object GeoNames {
    */
   def loadCities(spark: SparkSession, path: String,
                  useAsciiNames: Boolean = true): DataFrame = {
-    val readPath =
-      if (path.toLowerCase.endsWith(".zip")) unzipToTemp(spark, path) else path
-    val raw = spark.read
+    val reader = spark.read
       .option("sep", "\t")
       .option("quote", "\u0000") // geonames is unquoted raw-tab format
-      .csv(readPath)
+    val raw =
+      if (path.toLowerCase.endsWith(".zip")) {
+        import spark.implicits._
+        reader.csv(spark.createDataset(unzipLines(spark, path)))
+      } else reader.csv(path)
     val lat = expr("try_cast(_c4 AS DOUBLE)")
     val lon = expr("try_cast(_c5 AS DOUBLE)")
     raw.select(

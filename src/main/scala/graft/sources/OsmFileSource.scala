@@ -216,7 +216,7 @@ final class OsmScan(paths: Seq[String], required: StructType, spec: OsmReadSpec)
     s"OsmScan(spec=$spec, columns=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    OsmScan.partitionsOf(OsmScan.discover(paths).map(_._1)).toArray
+    OsmScan.partitionsOf(OsmScan.discover(paths)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OsmReaderFactory(required.fieldNames, spec,
@@ -241,18 +241,28 @@ object OsmScan {
     }
   }
 
+  /** Stat-per-file variant for callers that only have names (the
+    * streaming offsets carry no lengths). */
+  def partitionsOfPaths(files: Seq[String]): Seq[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    partitionsOf(files.map { f =>
+      val path = new Path(f)
+      (f, path.getFileSystem(conf).getFileStatus(path).getLen)
+    })
+  }
+
   /** Batch-identical partition planning: PBF and o5m files split into
     * byte ranges at `spark.sql.files.maxPartitionBytes`, xml one task
-    * per file. */
-  def partitionsOf(files: Seq[String]): Seq[InputPartition] = {
+    * per file. Takes (path, length) so the discover() listing's stats
+    * are reused — one metadata round-trip per file, not two. */
+  def partitionsOf(files: Seq[(String, Long)]): Seq[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val parts = mutable.ArrayBuffer.empty[InputPartition]
-    files.foreach { f =>
+    files.foreach { case (f, len) =>
       val path = new Path(f)
       val fs = path.getFileSystem(conf)
-      val len = fs.getFileStatus(path).getLen
       val fmt = OsmFileSource.formatOf(f)
       val splittable = fmt == "pbf" ||
         (fmt == "o5m" && O5mRangeIterator.isSplittable(fs, path, len))
@@ -305,7 +315,7 @@ final class OsmMicroBatchStream(paths: Seq[String], required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[OsmFilesOffset].files.toSet
     val fresh = end.asInstanceOf[OsmFilesOffset].files.filterNot(seen)
-    OsmScan.partitionsOf(fresh).toArray
+    OsmScan.partitionsOfPaths(fresh).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
