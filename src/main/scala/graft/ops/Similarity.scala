@@ -54,11 +54,19 @@ object Similarity {
   def planeComponent(p: Int, d: Int, dims: Int): Long =
     (((p.toLong * dims + d + 1) * 2654435761L) % 1999L) - 999L
 
+  /** One `array<double>` literal NODE (not a CreateArray of `dims`
+    * Literal children): the ANN operators inline whole codebooks as
+    * literals, and per-element trees made analysis/optimization time
+    * scale with centroids x dims — for IVF-PQ, ~1.5k expression nodes
+    * the optimizer re-traversed on every rule (r7; the folded VALUES
+    * are identical, so every dot product is bit-unchanged). */
+  private def litArray(vs: Seq[Double]): Column = typedLit(vs)
+
   /** Hyperplane sign-bucket of a vector: bit p = (v . plane_p) > 0. */
   def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column =
     (0 until nPlanes).map { p =>
-      val plane = array((0 until dims).map(d =>
-        lit(planeComponent(p, d, dims).toDouble)): _*)
+      val plane = litArray((0 until dims).map(d =>
+        planeComponent(p, d, dims).toDouble))
       when(dot(vec, plane) > 0, lit(1L) * (1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
@@ -108,7 +116,7 @@ object Similarity {
   private def centroidScores(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     require(cents.nonEmpty, "no centroids")
     array(cents.map { case (cid, cv) =>
-      struct(dot(vec, array(cv.map(lit): _*)).as("score"), lit(-cid).as("negid"))
+      struct(dot(vec, litArray(cv)).as("score"), lit(-cid).as("negid"))
     }: _*)
   }
 
@@ -240,6 +248,16 @@ object Similarity {
                       exactScale: Option[Long] = None): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    kmeansCentroidSeq(vectors, k, iters, dims, id, vec, exactScale)
+      .toDF("centroid_id", "centroid")
+  }
+
+  /** The Lloyd loop itself, returning the driver-side centroid table —
+    * callers that immediately need the literal centroids (trained IVF)
+    * skip the toDF + re-collect round-trip (r7). */
+  private def kmeansCentroidSeq(vectors: DataFrame, k: Int, iters: Int,
+                                dims: Int, id: String, vec: String,
+                                exactScale: Option[Long]): Seq[(Long, Seq[Double])] = {
     val normalized = vectors
       .select(col(id), col(vec).as("v"), norm(col(vec)).as("nrm"))
       .select(col(id), transform(col("v"), x => x.cast("double") / col("nrm")).as("nv"))
@@ -269,7 +287,7 @@ object Similarity {
         if (nrm > 0) Some((cid, sv.map(_ / nrm))) else None
       }.sortBy(_._1)
     }
-    cents.toDF("centroid_id", "centroid")
+    cents
   }
 
   /** IVF assignment against trained centroids (literal-centroid
@@ -291,9 +309,10 @@ object Similarity {
                        nCentroids: Int = 8, iters: Int = 2, nProbe: Int = 2,
                        dims: Int = 64, exactScale: Long = 1L << 20,
                        id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val trained = kmeansCentroids(candidates, nCentroids, iters, dims, id, vec,
+    // the Lloyd loop already ends with the centroid table on the
+    // driver — use it directly instead of toDF + a re-collect job (r7)
+    val cents = kmeansCentroidSeq(candidates, nCentroids, iters, dims, id, vec,
       Some(exactScale))
-    val cents = collectCentroids(trained, "centroid_id", "centroid")
     val lists = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"),
       nearestCentroid(col(vec), cents).as("centroid_id"))
     probeSearch(lists, probesOf(queries, cents, nProbe, id, vec), k)
@@ -312,10 +331,17 @@ object Similarity {
     * quantizer). Codebooks are bounded (m * kSub * dims/m doubles) and
     * live in the plan as literals. */
   private def pqCodebooks(vectors: DataFrame, m: Int, kSub: Int, dims: Int,
-                          id: String, vec: String): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+                          id: String, vec: String): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    pqCodebooksFrom(collectCentroids(vectors.where(col(id) < kSub), id, vec),
+      m, dims)
+
+  /** Codebooks sliced out of an already-collected first-kSub vector
+    * table — lets callers that also need the coarse centroids pay ONE
+    * driver collect for both (r7). */
+  private def pqCodebooksFrom(base: Seq[(Long, Seq[Double])], m: Int,
+                              dims: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
-    val base = collectCentroids(vectors.where(col(id) < kSub), id, vec)
     (0 until m).map(j => base.map(_._2.slice(j * sub, (j + 1) * sub)).toIndexedSeq)
   }
 
@@ -327,7 +353,7 @@ object Similarity {
                       j: Int, sub: Int): Column = {
     val sliced = slice(vec, j * sub + 1, sub)
     val scores = array(book.zipWithIndex.map { case (cv, i) =>
-      struct(dot(sliced, array(cv.map(lit): _*)).as("score"),
+      struct(dot(sliced, litArray(cv)).as("score"),
         lit(-i.toLong).as("negidx"))
     }: _*)
     -array_max(scores).getField("negidx")
@@ -339,7 +365,7 @@ object Similarity {
   private def pqReconstruct(vec: Column, books: IndexedSeq[IndexedSeq[Seq[Double]]],
                             sub: Int): Column =
     concat(books.zipWithIndex.map { case (book, j) =>
-      val bookLit = array(book.map(cv => array(cv.map(lit): _*)): _*)
+      val bookLit = typedLit(book.map(_.toSeq).toSeq)
       element_at(bookLit, (subCode(vec, book, j, sub) + 1).cast("int"))
     }: _*)
 
@@ -380,8 +406,13 @@ object Similarity {
                   nCentroids: Int = 8, nProbe: Int = 2, m: Int = 8,
                   kSub: Int = 16, dims: Int = 64,
                   id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val cents = collectCentroids(candidates.where(col(id) < nCentroids), id, vec)
-    val books = pqCodebooks(candidates, m, kSub, dims, id, vec)
+    // one driver collect feeds BOTH the coarse quantizer (first
+    // nCentroids) and the PQ codebooks (first kSub) — was two separate
+    // collect jobs over the same rows (r7)
+    val base = collectCentroids(
+      candidates.where(col(id) < math.max(nCentroids, kSub)), id, vec)
+    val cents = base.filter(_._1 < nCentroids)
+    val books = pqCodebooksFrom(base.filter(_._1 < kSub), m, dims)
     val sub = dims / m
     // "cv" carries the PQ reconstruction: the shared probe-search tail
     // scores it with the raw dot (ADC), not cosine

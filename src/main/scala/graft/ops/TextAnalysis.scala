@@ -64,10 +64,22 @@ object TextAnalysis {
 
   /** Document fingerprint: min over char-5-gram hashes (the winnowing
     * / rolling-hash document-fingerprint family, collapsed to the
-    * minimum so it is one aggregation). */
+    * minimum so it is one aggregation).
+    *
+    * (r7) Pure map-side projection: the per-doc min runs over the
+    * doc's own gram-hash array (one codegen'd pass over the text's
+    * bytes), so the operator has ZERO exchanges — the
+    * explode + distinct + groupBy it replaced shuffled one row per
+    * (doc, gram) to compute a per-doc minimum, and min is insensitive
+    * to the distinct. Values identical: same gram positions
+    * (truncated gram included, like charShingles), same 60-bit md5
+    * key mod P. isNotNull reproduces the old null-text drop. */
   def fingerprint(docs: DataFrame, n: Int = 5,
                   id: String = "doc_id", text: String = "text"): DataFrame =
-    TextDedup.charShingles(docs, n, id, text)
-      .groupBy(col(id))
-      .agg(min(TextDedup.tokenHash(col("gram"))).as("fingerprint"))
+    docs.where(col(text).isNotNull)
+      .select(col(id),
+        array_min(transform(
+          graft.functions.GramHashesExpr.gramHashes(
+            col(text), n, "md5", fullOnly = false),
+          h => h % TextDedup.P)).as("fingerprint"))
 }

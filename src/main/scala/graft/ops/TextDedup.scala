@@ -24,9 +24,12 @@ object TextDedup {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** 60-bit token hash via md5 (DuckDB-reproducible), reduced mod P. */
+  /** 60-bit token hash via md5 (DuckDB-reproducible), reduced mod P.
+    * Digest-direct kernel ([[graft.functions.Md5Hash60Expr]]) — bit-
+    * identical to the conv(substr(md5)) chain it replaces (spec-gated
+    * in GramHashSpec), without the hex/decimal string round-trips. */
   def tokenHash(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P
+    graft.functions.Md5Hash60Expr.md5Hash60(t) % P
 
   /** SQL text of the same token hash. */
   def tokenHashSql(t: String): String =
@@ -39,19 +42,27 @@ object TextDedup {
   /**
    * MinHash signatures: `doc_id, mh0 .. mh{k-1}` where
    * `mh_i = min over tokens of (a_i * h + b_i) % P`.
-   * One explode + one hash aggregation; the k permutations are k
-   * aggregate expressions over the same shuffled rows (not k passes).
+   *
+   * (r7) Pure MAP-SIDE projection: the per-doc minimum runs over the
+   * doc's own token array (`array_min` over a `transform`), so the
+   * operator has ZERO exchanges — the explode + groupBy formulation
+   * it replaces shuffled one row per (doc, token) only to compute a
+   * per-doc aggregate (guide §2.4: remove shuffles outright). Values
+   * are identical: min over the distinct-token hash array is min over
+   * the exploded rows, and the `isNotNull` guard reproduces the old
+   * formulation's null-text behavior (explode of null emitted no row,
+   * so null-text docs never appeared).
    */
   def minhashSignatures(docs: DataFrame, k: Int = 16,
                         id: String = "doc_id", text: String = "text"): DataFrame = {
-    val perTok = docs.select(col(id),
-      explode(array_distinct(tokens(col(text)))).as("tok"))
-      .withColumn("h", tokenHash(col("tok")))
-    val aggs = (0 until k).map { i =>
+    val hs = transform(array_distinct(tokens(col(text))), t => tokenHash(t))
+    val mins = (0 until k).map { i =>
       val (a, b) = perm(i)
-      min((col("h") * a + b) % P).as(s"mh$i")
+      array_min(transform(col("__th"), h => (h * a + b) % P)).as(s"mh$i")
     }
-    perTok.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    docs.where(col(text).isNotNull)
+      .select(col(id), hs.as("__th"))
+      .select(col(id) +: mins: _*)
   }
 
   /**
@@ -138,16 +149,14 @@ object TextDedup {
    */
   def simhash(docs: DataFrame, bits: Int = 62,
               id: String = "doc_id", text: String = "text"): DataFrame = {
-    val perTok = docs.select(col(id),
-      explode(array_distinct(tokens(col(text)))).as("tok"))
-      .withColumn("h", tokenHash(col("tok")))
-    val sums = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b"))
-    val agg = perTok.groupBy(col(id)).agg(sums.head, sums.tail: _*)
-    val packed = (0 until bits).map(b =>
-      when(col(s"s$b") > 0, lit(1L) * (1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    agg.select(col(id), packed.as("simhash"))
+    // (r7) map-side fold over the doc's own distinct-token hash array
+    // (codegen'd SimhashFoldExpr): same +-1-per-bit arithmetic as the
+    // explode + 62-sum groupBy it replaces, with ZERO exchanges
+    // (guide §2.4). isNotNull reproduces the old null-text drop.
+    val hs = transform(array_distinct(tokens(col(text))), t => tokenHash(t))
+    docs.where(col(text).isNotNull)
+      .select(col(id),
+        graft.functions.SimhashFoldExpr.simhashFold(hs, bits).as("simhash"))
   }
 
   /** Hamming distance between two SimHash columns. */
@@ -214,9 +223,13 @@ object TextDedup {
    * O(log longest-path) instead of O(longest-path).
    */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val sym = pairs
+    // (r7) materialize the pair projection once — both union branches
+    // and later rounds read it instead of re-running the caller's
+    // candidate pipeline per branch
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val sym = p0
       .select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .unionByName(p0.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .localCheckpoint(true)
     var labels = sym.select(col("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -281,21 +294,44 @@ object TextDedup {
    * to [[connectedComponents]]: (id, label) for every id appearing
    * in a pair, label = smallest id in the component (spec-proven
    * equal on randomized graphs).
+   *
+   * (r7) Hybrid tail: once the (shrinking) edge list fits
+   * `driverFinishEdges` (default 1M edges, ~16 MB packed on the
+   * driver — set 0 to force pure-distributed), a single union-find
+   * pass finishes the contraction on the driver. The tail rounds of
+   * star-contraction are pure latency — a few KB of edges dragged
+   * through full shuffle DAGs once the big components have collapsed
+   * (measured: round 0 took 368k -> 1.7k edges, then three more
+   * rounds of fixed overhead). Contraction rounds preserve both
+   * connectivity and the node set (large-star keeps every node
+   * attached via its larger/smaller neighbors; small-star re-emits
+   * every node it touches), so components of the intermediate edge
+   * list equal components of the input — the driver union-find
+   * labels are identical to the converged star labels, and the
+   * OpsSpec equality gate vs pointer-jumping plus a forced
+   * driverFinishEdges = 0 case pin that.
    */
-  def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    var edges = pairs
+  def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 50,
+                               driverFinishEdges: Long = 1000000L): DataFrame = {
+    // (r7) `pairs` feeds the edge list AND the selfOnly tail below —
+    // materialize its projection once, or the tail re-executes the
+    // caller's whole candidate-generation pipeline (for the LSH dedup
+    // queries: the full band join) a second time
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    var edges = p0
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var round = 0
-    // the frames are checkpointed, so count() scans materialized
-    // partitions — still, the previous round's count is carried over
-    // instead of recounting `edges` every round
+    // lazy checkpoints: the count() that every round needs anyway IS
+    // the materializing action (one job per round instead of the
+    // eager checkpoint job + a separate count job); the previous
+    // round's count is carried over instead of recounting `edges`
     var edgeCount = edges.count()
-    while (!converged && round < maxRounds) {
+    while (!converged && round < maxRounds && edgeCount > driverFinishEdges) {
       // large-star over the symmetric neighbor view
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val minAll = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
@@ -313,7 +349,7 @@ object TextDedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(minSmaller.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // set equality = equal cardinality AND next ⊆ edges; the
       // anti-join only runs once the counts agree (late rounds)
       val nextCount = next.count()
@@ -323,18 +359,74 @@ object TextDedup {
       edgeCount = nextCount
       round += 1
     }
-    val labels = edges.select(col("u").as("id"), col("v").as("label"))
-      .unionByName(edges.select(col("v").as("id"), col("v").as("label")))
-      .distinct()
+    val labels =
+      if (!converged && edgeCount <= driverFinishEdges)
+        unionFindLabels(edges)
+      else
+        edges.select(col("u").as("id"), col("v").as("label"))
+          .unionByName(edges.select(col("v").as("id"), col("v").as("label")))
+          .distinct()
     // ids whose only pairs were self-pairs are filtered out of the
     // edge list up front but are still "appearing in a pair": emit
     // them as their own singleton component, exactly like
     // [[connectedComponents]] does (empty for id_a < id_b inputs)
-    val selfOnly = pairs.where(col("id_a") === col("id_b"))
+    val selfOnly = p0.where(col("id_a") === col("id_b"))
       .select(col("id_a").as("id")).distinct()
       .join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     labels.unionByName(selfOnly)
+  }
+
+  /** Driver union-find over a BOUNDED edge list (caller guarantees
+    * the row count): collects (u, v) packed into primitive arrays per
+    * partition (no boxed Row per edge), unions with path compression,
+    * and emits (id, min-of-component) for every node — exactly the
+    * converged star labels. The result is parallelized back out so
+    * downstream plans stay distributed. */
+  private def unionFindLabels(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val packed = edges.select(col("u"), col("v")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val us = Array.newBuilder[Long]
+        val vs = Array.newBuilder[Long]
+        it.foreach { case (u, v) => us += u; vs += v }
+        Iterator.single((us.result(), vs.result()))
+      }.collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != r) {
+        val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    packed.foreach { case (us, vs) =>
+      var i = 0
+      while (i < us.length) {
+        val ru = find(us(i)); val rv = find(vs(i))
+        // union by MIN root so the representative is the component min
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+        // make sure both nodes are known even when already unified
+        parent.putIfAbsent(us(i), find(us(i)))
+        parent.putIfAbsent(vs(i), find(vs(i)))
+        i += 1
+      }
+    }
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    packed.foreach { case (us, vs) =>
+      var i = 0
+      while (i < us.length) { nodes += ((us(i), 0L)); nodes += ((vs(i), 0L)); i += 1 }
+    }
+    val out = nodes.map(_._1).distinct.map(id => (id, find(id)))
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, out.size / 10000 + 1))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, slices)).toDF("id", "label")
   }
 
   /** Distinct character n-gram shingles: (id, gram). */
@@ -346,37 +438,31 @@ object TextDedup {
       .select(col(id), substring(col(text), col("i"), lit(n)).as("gram"))
       .distinct()
 
-  /** The gram -> 8-byte shuffle key. "xxhash64" (default) is the
-    * production mode: codegen'd, one pass, no hex round-trip.
-    * "md5" (60-bit, via hex) is the cross-engine-reproducible mode the
-    * oracle-gated catalog pins (any engine derives the same key), at
-    * ~2x the scan CPU. Collisions merge identically in every engine
-    * applying the same hash (~2^-60 per pair). */
-  private def gramHash(c: Column, hash: String): Column = hash match {
-    case "xxhash64" => xxhash64(c)
-    case "md5" => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    case other => throw new IllegalArgumentException(
-      s"unknown gram hash mode: $other (xxhash64 | md5)")
-  }
-
   /**
    * Distinct (id, 8-byte gram hash) pairs with the hash applied
    * map-side, BEFORE the distinct's exchange — every shuffle carries
    * an 8-byte key instead of gram text (the 100 TB shape). `fullOnly`
    * keeps only grams of exactly n chars (drops the truncated gram
-   * short texts produce). `hash` picks the key function — see
-   * [[gramHash]].
+   * short texts produce). `hash` picks the key function: "xxhash64"
+   * (default, production) or "md5" (60-bit cross-engine key the
+   * oracle catalog pins).
+   *
+   * (r7) Gram generation + hashing run in ONE codegen'd pass over the
+   * text's bytes ([[graft.functions.GramHashesExpr]], bit-identical
+   * to the explode(sequence) + substring + md5/conv chain it
+   * replaces — GramHashSpec) instead of materializing a position
+   * array, a gram string, a hex digest and a decimal string per gram.
+   * `dedup = false` skips the built-in distinct so callers can filter
+   * (e.g. a decontamination semi-join) BEFORE paying the exchange.
    */
   def charShingleHashes(docs: DataFrame, n: Int = 3, fullOnly: Boolean = false,
                         id: String = "doc_id", text: String = "text",
-                        hash: String = "xxhash64"): DataFrame = {
-    val grams = docs.select(col(id), col(text),
-        explode(sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))))
-          .as("i"))
-      .select(col(id), substring(col(text), col("i"), lit(n)).as("gram"))
-    val kept = if (fullOnly) grams.where(length(col("gram")) === n) else grams
-    kept.select(col(id), gramHash(col("gram"), hash).as("gram_hash"))
-      .distinct()
+                        hash: String = "xxhash64",
+                        dedup: Boolean = true): DataFrame = {
+    val raw = docs.select(col(id),
+      explode(graft.functions.GramHashesExpr.gramHashes(
+        col(text), n, hash, fullOnly)).as("gram_hash"))
+    if (dedup) raw.distinct() else raw
   }
 
   /** Position-preserving variant of [[charShingleHashes]]:
@@ -387,14 +473,10 @@ object TextDedup {
                                id: String = "doc_id",
                                text: String = "text",
                                hash: String = "xxhash64"): DataFrame =
-    docs.select(col(id), col(text),
-        explode(sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))))
-          .as("i"))
-      .select(col(id), col("i"),
-        substring(col(text), col("i"), lit(n)).as("gram"))
-      .where(length(col("gram")) === n)
-      .select(col(id), col("i").cast("long").as("i"),
-        gramHash(col("gram"), hash).as("gram_hash"))
+    docs.select(col(id),
+        posexplode(graft.functions.GramHashesExpr.gramHashes(
+          col(text), n, hash, fullOnly = true)).as(Seq("p", "gram_hash")))
+      .select(col(id), (col("p") + 1).cast("long").as("i"), col("gram_hash"))
 
   /**
    * Maximal duplicated spans — the ranges Lee et al.-style dedup
@@ -411,9 +493,16 @@ object TextDedup {
                     id: String = "doc_id", text: String = "text",
                     hash: String = "xxhash64"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (r7) the positions frame feeds BOTH the dup-gram detection and
+    // the span probe — materialize the gram-hash scan once (lazy
+    // local checkpoint) instead of re-hashing the corpus per side;
+    // dup detection derives the distinct (doc, hash) rows from it
+    // (identical to charShingleHashes(fullOnly = true) by
+    // construction: pos holds exactly the full grams)
     val pos = charShingleHashPositions(docs, n, id, text, hash)
-    val dup = charShingleHashes(docs, n, fullOnly = true, id, text, hash)
-      .groupBy("gram_hash").agg(count(lit(1)).as("nd")) // distinct (doc, hash) rows
+      .localCheckpoint(false)
+    val dup = pos.select(col(id), col("gram_hash")).distinct()
+      .groupBy("gram_hash").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select("gram_hash")
     val hits = pos.join(dup, "gram_hash").select(col(id), col("i"))
     val w = Window.partitionBy(col(id)).orderBy(col("i"))

@@ -324,10 +324,18 @@ class OpsSpec extends AnyFunSuite {
     val pairs = (chain ++ clique ++ star ++ noise).toDF("id_a", "id_b")
     val jump = graft.ops.TextDedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // default: hybrid (distributed contraction + driver union-find tail)
     val stars = graft.ops.TextDedup.connectedComponentsStars(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stars === jump,
       s"star-contraction labels diverge: ${stars.toSet.diff(jump.toSet).take(5)}")
+    // driverFinishEdges = 0 forces the pure-distributed contraction to
+    // convergence — the r7 hybrid tail must change nothing
+    val starsDist = graft.ops.TextDedup.connectedComponentsStars(
+      pairs, driverFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starsDist === jump,
+      s"pure-distributed star labels diverge: ${starsDist.toSet.diff(jump.toSet).take(5)}")
   }
 
   test("dot_f64 codegen expression is bit-identical to the HOF formulation") {
