@@ -84,6 +84,38 @@ object DensityJob {
         when(col("land_cnt").isNotNull, col("land_cnt"))
           .otherwise(col("sea_cnt") * factor).as("cnt"))
 
+  /** [[histogram]] kept on its packed 8-byte key: `(cell_key, cnt)` —
+    * the aggregation's own partitioning, so a downstream join on
+    * `cell_key` needs no re-exchange (r7). */
+  def histogramKeyed(points: DataFrame, lat: Column, lon: Column,
+                     bounds: TileRect, resolution: Int): DataFrame = {
+    val shift = 24 - resolution
+    val key = cellY(lat, bounds, shift).cast("long") * (1L << 32) +
+      cellX(lon, bounds, shift).cast("long")
+    points
+      .where(inBounds(lat, lon, bounds))
+      .groupBy(key.as("cell_key"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[mergeHistograms]] over keyed histograms: the full-outer join
+    * runs on the single packed key BOTH aggregations are already
+    * hash-partitioned by — the (cell_x, cell_y) formulation forced
+    * two fresh exchanges to realign on the unpacked pair (r7; the
+    * key <-> (x, y) mapping is bijective, so the matched cell pairs —
+    * and the land-wins-else-sea*factor values — are identical).
+    * Returns the standard unpacked (cell_x, cell_y, cnt). */
+  def mergeHistogramsKeyed(land: DataFrame, sea: DataFrame,
+                           factor: Int = 2): DataFrame =
+    land.withColumnRenamed("cnt", "land_cnt")
+      .join(sea.withColumnRenamed("cnt", "sea_cnt"),
+        Seq("cell_key"), "full_outer")
+      .select(
+        (col("cell_key") % (1L << 32)).cast("int").as("cell_x"),
+        (col("cell_key") / (1L << 32)).cast("int").as("cell_y"),
+        when(col("land_cnt").isNotNull, col("land_cnt"))
+          .otherwise(col("sea_cnt") * factor).as("cnt"))
+
   /**
    * Collect an already-computed `(cell_x, cell_y, cnt)` histogram
    * DataFrame into the driver-side [[DensityGrid]] — the terminal

@@ -121,9 +121,22 @@ object Similarity {
   }
 
   /** Nearest-centroid id (highest dot, ties -> smallest id) as a pure
-    * whole-stage-codegen projection — no join, no exchange. */
-  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
-    -array_max(centroidScores(vec, cents)).getField("negid")
+    * whole-stage-codegen projection — no join, no exchange.
+    *
+    * (r7) argmax via the compact [[graft.functions.NearestIndexExpr]]
+    * kernel: same float64 dots in the same order, ties to the lowest
+    * index = smallest id (cents are sorted by id) — identical to the
+    * struct-array max it replaces, but ONE static call instead of
+    * k inlined dot-product trees, which had pushed the enclosing
+    * codegen method past the JVM's JIT size limit (the projection ran
+    * interpreted). */
+  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "no centroids")
+    val dims = cents.head._2.length
+    val idx = graft.functions.NearestIndexExpr.nearestIndex(
+      vec, cents.map(_._2), 0, dims)
+    element_at(typedLit(cents.map(_._1)), (idx + 1).cast("int"))
+  }
 
   /**
    * IVF coarse quantization: assign every vector to its nearest
@@ -346,18 +359,12 @@ object Similarity {
   }
 
   /** Codebook INDEX (not centroid id) nearest to subspace `j` of
-    * `vec` — highest float64 dot, ties to the lowest index; a
-    * constant-folded whole-stage-codegen projection exactly like
-    * [[nearestCentroid]]. */
+    * `vec` — highest float64 dot, ties to the lowest index; the same
+    * compact argmax kernel as [[nearestCentroid]], reading the
+    * subspace in place (no per-row slice allocation). */
   private def subCode(vec: Column, book: IndexedSeq[Seq[Double]],
-                      j: Int, sub: Int): Column = {
-    val sliced = slice(vec, j * sub + 1, sub)
-    val scores = array(book.zipWithIndex.map { case (cv, i) =>
-      struct(dot(sliced, litArray(cv)).as("score"),
-        lit(-i.toLong).as("negidx"))
-    }: _*)
-    -array_max(scores).getField("negidx")
-  }
+                      j: Int, sub: Int): Column =
+    graft.functions.NearestIndexExpr.nearestIndex(vec, book, j * sub, sub)
 
   /** Reconstruction of `vec` from its PQ codes: concat of the looked-
     * up codebook subvectors, in subspace order — still a pure

@@ -318,6 +318,16 @@ object TextDedup {
     // caller's whole candidate-generation pipeline (for the LSH dedup
     // queries: the full band join) a second time
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    // (r7) fast path: when the RAW pair list is already under the
+    // driver bound, union-find it directly — no canonicalize+distinct
+    // exchange, no labels-distinct, no selfOnly anti-join (union-find
+    // handles duplicates, either orientation, and self-pairs — a
+    // self-pair node becomes its own singleton root, exactly the
+    // selfOnly contract). One count job on the materialized pairs
+    // decides; the distributed contraction below remains the >bound
+    // path and its pure-distributed fixpoint stays spec-pinned.
+    if (p0.count() <= driverFinishEdges)
+      return unionFindLabels(p0.toDF("u", "v"))
     var edges = p0
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))

@@ -116,15 +116,18 @@ object Catalog {
 
     "q_density_merge" -> ((s, dir) => {
       // A4 raster-raster reconcile: document density as land, event
-      // density as the sea/background raster
-      val land = DensityJob.histogram(points(s, dir),
+      // density as the sea/background raster. (r7) keyed variant: the
+      // full-outer reconcile joins on the packed cell key both
+      // aggregations already partition by (2 fewer exchanges; same
+      // cells, same counts — see DensityJob.mergeHistogramsKeyed)
+      val land = DensityJob.histogramKeyed(points(s, dir),
         col("lat_mu"), col("lon_mu"), gb, FixedTiles.Resolution)
       val ev = s.read.parquet(s"$dir/events.parquet").select(
         CoordSynthesis.latCol(col("event_id")).cast("long").as("lat_mu"),
         CoordSynthesis.lonCol(col("event_id")).cast("long").as("lon_mu"))
-      val sea = DensityJob.histogram(ev,
+      val sea = DensityJob.histogramKeyed(ev,
         col("lat_mu"), col("lon_mu"), gb, FixedTiles.Resolution)
-      DensityJob.mergeHistograms(land, sea)
+      DensityJob.mergeHistogramsKeyed(land, sea)
         .select(col("cell_x").cast("long").as("cell_x"),
           col("cell_y").cast("long").as("cell_y"), col("cnt"))
     }),

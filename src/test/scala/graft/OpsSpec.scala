@@ -338,6 +338,34 @@ class OpsSpec extends AnyFunSuite {
       s"pure-distributed star labels diverge: ${starsDist.toSet.diff(jump.toSet).take(5)}")
   }
 
+  test("nearest_index kernel equals the struct-array argmax formulation") {
+    // the r7 compact argmax (one static call) vs the literal-score
+    // struct max it replaced — same dots, same tie-break, over the
+    // real embeddings table and every subspace offset
+    import graft.functions.{DotF64Expr, NearestIndexExpr}
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    for ((off, len) <- Seq((0, 64), (8, 8), (56, 8))) {
+      val table = cents.map(_._2.slice(off, off + len))
+      val structMax = {
+        val scores = array(table.zipWithIndex.map { case (cv, i) =>
+          struct(DotF64Expr.dotF64(
+              slice(col("embedding"), off + 1, len),
+              typedLit(cv)).as("score"),
+            lit(-i.toLong).as("negidx"))
+        }: _*)
+        -array_max(scores).getField("negidx")
+      }
+      val rows = emb.select(
+        structMax.as("ref"),
+        NearestIndexExpr.nearestIndex(col("embedding"), table, off, len)
+          .as("got")).collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1),
+        s"argmax diverges at offset $off len $len"))
+    }
+  }
+
   test("dot_f64 codegen expression is bit-identical to the HOF formulation") {
     import graft.functions.DotF64Expr.dotF64
     def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
