@@ -253,17 +253,22 @@ object ProblemJoins {
       .select(col("parent_id").as("root_id"), col("child_id").as("leaf_id"))
       .distinct().localCheckpoint(true)
     var frontier = known
+    var frontierSize = 1L // known is non-empty unless edges is; probed below
     var depth = 1
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierSize > 0) {
       val next = frontier
         .join(e.withColumnRenamed("parent_id", "leaf_id"), "leaf_id")
         .select(col("root_id"), col("child_id").as("leaf_id"))
         .distinct()
+      // (r7) lazy checkpoint + count: the count both materializes the
+      // round's delta (fully — safe to reuse) and answers the
+      // emptiness probe, one job instead of eager-checkpoint + isEmpty
       val newPairs = next
         .join(known, Seq("root_id", "leaf_id"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      frontierSize = newPairs.count()
       frontier = newPairs
-      if (!newPairs.isEmpty) {
+      if (frontierSize > 0) {
         known = known.unionByName(newPairs).localCheckpoint(true)
         depth += 1
       }

@@ -297,9 +297,13 @@ object OpsCatalog {
       import org.apache.spark.sql.expressions.Window
       val toks = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      // (r7) tf already holds one row per (doc, term), so the document
+      // frequency is a row count per term OVER TF — the second
+      // tokenize + distinct pass of the corpus is gone; tf feeds both
+      // consumers through one lazy materialization
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+        .localCheckpoint(false)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("df"), col("tf").desc, col("term"))
       tf.join(broadcast(dfreq), "term")
