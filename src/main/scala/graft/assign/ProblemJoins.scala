@@ -187,7 +187,11 @@ object ProblemJoins {
                         tileRects: Seq[TileRect],
                         mapIds: Seq[Long]): DataFrame = {
     val bc = tileIndexBroadcast(members, tileRects)
+    // (r7) memberTiles feeds the elision decision AND the final union
+    // — materialize the probe once instead of re-running the
+    // explode + broadcast probe per consumer
     val memberTiles = memberTileJoin(members, bc, mapIds)
+      .localCheckpoint(false)
     val elidable = elidableLinks(members, memberTiles, tileRects, mapIds)
     val crossed = segmentTileJoin(
       segments.join(broadcast(elidable), Seq("link_id"), "left_anti"),

@@ -271,9 +271,13 @@ object Similarity {
   private def kmeansCentroidSeq(vectors: DataFrame, k: Int, iters: Int,
                                 dims: Int, id: String, vec: String,
                                 exactScale: Option[Long]): Seq[(Long, Seq[Double])] = {
+    // (r7) the normalized view feeds the init collect AND every Lloyd
+    // round — materialize it once instead of re-scanning the source
+    // and renormalizing per round
     val normalized = vectors
       .select(col(id), col(vec).as("v"), norm(col(vec)).as("nrm"))
       .select(col(id), transform(col("v"), x => x.cast("double") / col("nrm")).as("nv"))
+      .localCheckpoint(false)
     var cents: Seq[(Long, Seq[Double])] =
       collectCentroids(normalized.where(col(id) < k), id, "nv")
     for (_ <- 0 until iters) {

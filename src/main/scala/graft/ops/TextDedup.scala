@@ -93,15 +93,21 @@ object TextDedup {
     // per doc vs the document body)
     val banded = bandedSignatures(sigs, k, rowsPerBand, id)
       .localCheckpoint(false)
-    // the bucket-size aggregation hash-partitions on the same (band,
-    // key) as the candidate join below, so AQE reuses the exchange
+    // (r7) the bucket-size guard is a windowed count over the SAME
+    // (band, key) exchange the candidate self-join needs — the
+    // aggregate-then-join formulation it replaces computed the bucket
+    // sizes as a separate aggregation and joined them back (one more
+    // join operator over the same partitioning; identical kept rows:
+    // a row survives iff its (band, key) bucket count <= maxBucket)
     val pruned =
       if (maxBucket == Int.MaxValue) banded
-      else banded.join(
-        banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        banded.withColumn("bucket_n",
+            count(lit(1)).over(Window.partitionBy("band", "key")))
           .where(col("bucket_n") <= maxBucket)
-          .select(col("band"), col("key")),
-        Seq("band", "key"))
+          .drop("bucket_n")
+      }
     val a = pruned.select(col(id).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("key"))
     val b = pruned.select(col(id).as("id_b"), col("sig").as("sig_b"),
