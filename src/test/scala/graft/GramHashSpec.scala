@@ -104,6 +104,30 @@ class GramHashSpec extends AnyFunSuite {
     }
   }
 
+  test("single-block md5 kernel matches MessageDigest on 50k random slices") {
+    // pure-JVM fuzz of the RFC-1321 fast path: every length 0..59
+    // (crossing the 55-byte single-block boundary into the
+    // MessageDigest fallback), random offsets, random bytes
+    val rnd = new Random(20260822)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < 50000) {
+      val len = i % 60
+      val off = rnd.nextInt(5)
+      val buf = new Array[Byte](off + len + rnd.nextInt(3))
+      rnd.nextBytes(buf)
+      val got = GramHashesExpr.md5Hash60(buf, off, len)
+      md.reset(); md.update(buf, off, len)
+      val d = md.digest()
+      val top = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      assert(got === top, s"md5 kernel diverges at len=$len off=$off")
+      i += 1
+    }
+  }
+
   test("null text yields null (no rows after explode), like the builtins") {
     withSession { s =>
       import s.implicits._
